@@ -1,0 +1,351 @@
+"""Batched TPU-native FLAC encoder.
+
+The reference processes one sample at a time through five Python layers
+(SURVEY.md §3.1); here a whole batch of ``[B, channels, block_size]`` PCM
+blocks flows through ONE jitted pipeline:
+
+  stereo candidates → fixed/LPC analysis (all orders at once) → candidate
+  ranking → exact integer residuals → exhaustive Rice search → symbol
+  emission → prefix-sum bit packing → CRC folding
+
+yielding complete, CRC'd FLAC frames as byte rows.  The host only feeds PCM
+batches, concatenates the variable-length rows, and encodes the (single)
+short final block via the oracle.
+
+Improvements over the reference encoder, all spec-conformant:
+* per-frame stereo decorrelation (L/S, S/R, M/S) — the reference never uses
+  it (README.md:128),
+* constant/verbatim subframes with exact-size selection (reference
+  considers only fixed/LPC and compares by residual magnitude,
+  flac/encoder.py:104-157),
+* exact exhaustive Rice parameter search (reference uses a mean estimate,
+  flac/encoder.py:730-753).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Iterator, Sequence
+
+import numpy as np
+
+import flacx.ops  # noqa: F401  (x64)
+import jax
+import jax.numpy as jnp
+
+from flacx.format import (FIXED_PREDICTOR_TAPS, INDEPENDENT_CHANNELS,
+                          Channels)
+from flacx.ops import emit, rice
+from flacx.ops.bitpack import pack_symbols
+from flacx.ops.crcfold import crc16_over_rows
+from flacx.ops.fixedpred import fixed_residuals
+from flacx.ops.headers import frame_header_symbols
+from flacx.ops.lpc import (autocorrelate, levinson_all_orders,
+                           lpc_residuals_all, predict_residual,
+                           quantize_all_orders, tukey_window_np)
+
+_INF = jnp.int64(1) << 50
+
+#: stereo modes: (channel code, virtual-channel pair, decorrelation bits)
+_STEREO_MODES = (
+    (Channels.L_R, (0, 1), (0, 0)),
+    (Channels.L_S, (0, 3), (0, 1)),
+    (Channels.S_R, (3, 1), (1, 0)),
+    (Channels.M_S, (2, 3), (0, 1)),
+)
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Static (compile-time) encoder configuration."""
+    sample_rate: int = 44100
+    bps: int = 16
+    channels: int = 2
+    block_size: int = 4608
+    max_lpc_order: int = 12
+    qlp_precision: int = 5
+    partition_orders: tuple[int, ...] = (0, 1, 2, 3, 4, 5)
+    stereo: str = "auto"          # "auto" | "independent"
+
+    def __post_init__(self):
+        if not 1 <= self.channels <= 8:
+            raise ValueError("channels must be in 1..8")
+        if not 0 <= self.max_lpc_order <= 32:
+            raise ValueError("max LPC order is 32")
+        if self.max_lpc_order and self.qlp_precision < 5:
+            raise ValueError("qlp precision must be >= 5")
+        if self.block_size < 2 * max(self.max_lpc_order, 4) + 2:
+            raise ValueError("block size too small for requested LPC order")
+        if self.bps > 31 and self.stereo == "auto":
+            # side channel would need 33-bit samples; stay independent
+            object.__setattr__(self, "stereo", "independent")
+
+    # -- derived static values ---------------------------------------------
+
+    @property
+    def use_stereo_modes(self) -> bool:
+        return self.channels == 2 and self.stereo == "auto"
+
+    @property
+    def max_taps(self) -> int:
+        return max(self.max_lpc_order, 4)
+
+    @property
+    def kmax(self) -> int:
+        return min(30, self.bps + 7)
+
+    @property
+    def porders(self) -> tuple[int, ...]:
+        """Legal partition orders (requested ∪ {0} fallback, divisibility)."""
+        legal = [o for o in self.partition_orders
+                 if o <= 15 and self.block_size % (1 << o) == 0]
+        return tuple(sorted(set(legal) | {0}))
+
+    @property
+    def preferred_porders(self) -> tuple[int, ...]:
+        return tuple(o for o in self.porders if o in self.partition_orders)
+
+    @property
+    def max_frame_bytes(self) -> int:
+        side = 1 if self.use_stereo_modes else 0
+        bits = (16 * 8 + self.channels * (8 + self.block_size *
+                                          (self.bps + side)) + 64)
+        return ((bits // 8 + 2) + 127) // 128 * 128
+
+
+# ---------------------------------------------------------------------------
+# The jitted pipeline
+
+
+def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
+                  first_index: jnp.ndarray) -> dict:
+    """pcm int32 ``[B, channels, N]`` → packed frames ``[B, max_bytes]``."""
+    n = cfg.block_size
+    b = pcm.shape[0]
+    p = cfg.max_lpc_order
+    t = cfg.max_taps
+    prec = cfg.qlp_precision
+
+    # ----- virtual channels -----------------------------------------------
+    if cfg.use_stereo_modes:
+        left = pcm[:, 0].astype(jnp.int32)
+        right = pcm[:, 1].astype(jnp.int32)
+        mid = (left + right) >> 1
+        side = left - right
+        x_v = jnp.stack([left, right, mid, side], axis=1)       # [B, 4, N]
+        bps_v = jnp.array([cfg.bps, cfg.bps, cfg.bps, cfg.bps + 1],
+                          jnp.int32)
+    else:
+        x_v = pcm.astype(jnp.int32)
+        bps_v = jnp.full((cfg.channels,), cfg.bps, jnp.int32)
+    nv = x_v.shape[1]
+
+    # ----- candidate residuals (fixed orders 0..4, LPC orders 1..P) -------
+    fres = fixed_residuals(x_v.astype(jnp.int64))               # [B,V,5,N]
+    if p:
+        w = jnp.asarray(tukey_window_np(n))
+        xw = x_v.astype(jnp.float64) * w
+        autoc = autocorrelate(xw, p)
+        taps_f, valid_ld = levinson_all_orders(autoc, p)
+        qcoefs, qshifts, valid_q = quantize_all_orders(taps_f, prec)
+        lres = lpc_residuals_all(x_v, qcoefs, qshifts)          # [B,V,P,N]
+        lpc_valid = valid_ld & valid_q                          # [B,V,P]
+        all_res = jnp.concatenate([fres, lres], axis=2)         # [B,V,5+P,N]
+    else:
+        qcoefs = jnp.zeros((b, nv, 1, 1), jnp.int32)
+        qshifts = jnp.zeros((b, nv, 1), jnp.int32)
+        all_res = fres
+
+    cand_orders = jnp.array(list(range(5)) + list(range(1, p + 1)),
+                            jnp.int32)                           # [5+P]
+    i_pos = jnp.arange(n, dtype=jnp.int32)
+    cand_mask = i_pos >= cand_orders[:, None]                    # [5+P, N]
+    zz_all = rice.zigzag(all_res) * cand_mask
+    zz_sum = jnp.sum(zz_all, axis=-1)                            # [B,V,5+P]
+    counts = (n - cand_orders).astype(jnp.int64)
+
+    est = rice.estimate_bits(zz_sum, counts, cfg.kmax)           # [B,V,5+P]
+    over_warm = cand_orders.astype(jnp.int64) * bps_v[:, None].astype(jnp.int64)
+    est = est + 8 + over_warm
+    if p:
+        is_lpc_cand = jnp.arange(5 + p) >= 5
+        est = est + jnp.where(is_lpc_cand,
+                              9 + cand_orders.astype(jnp.int64) * prec, 0)
+        est = jnp.where(jnp.concatenate(
+            [jnp.ones((b, nv, 5), bool), lpc_valid], axis=-1), est, _INF)
+
+    fixed_bits = jnp.min(est[..., :5], axis=-1)
+    fixed_order = jnp.argmin(est[..., :5], axis=-1).astype(jnp.int32)
+    if p:
+        lpc_bits = jnp.min(est[..., 5:], axis=-1)
+        lpc_order = (jnp.argmin(est[..., 5:], axis=-1) + 1).astype(jnp.int32)
+        pred_is_lpc = lpc_bits < fixed_bits
+    else:
+        lpc_bits = jnp.full_like(fixed_bits, _INF)
+        lpc_order = jnp.ones_like(fixed_order)
+        pred_is_lpc = jnp.zeros_like(fixed_bits, bool)
+    pred_bits = jnp.minimum(fixed_bits, lpc_bits)
+    pred_order = jnp.where(pred_is_lpc, lpc_order, fixed_order)
+
+    const_ok = jnp.all(x_v == x_v[..., :1], axis=-1)             # [B,V]
+    bps_bv = jnp.broadcast_to(bps_v, (b, nv)).astype(jnp.int64)
+    const_bits = jnp.where(const_ok, 8 + bps_bv, _INF)
+    verb_bits = 8 + n * bps_bv
+    cost_v = jnp.minimum(jnp.minimum(pred_bits, verb_bits), const_bits)
+
+    # ----- stereo mode / channel selection --------------------------------
+    if cfg.use_stereo_modes:
+        pairs = jnp.array([m[1] for m in _STEREO_MODES], jnp.int32)  # [4,2]
+        codes = jnp.array([int(m[0]) for m in _STEREO_MODES], jnp.int32)
+        decorr = jnp.array([m[2] for m in _STEREO_MODES], jnp.int32)  # [4,2]
+        mode_cost = (jnp.take(cost_v, pairs[:, 0], axis=1)
+                     + jnp.take(cost_v, pairs[:, 1], axis=1))     # [B,4]
+        mode = jnp.argmin(mode_cost, axis=-1).astype(jnp.int32)   # [B]
+        ch_code = codes[mode]
+        sel = pairs[mode]                                         # [B,2]
+        bps_c = cfg.bps + decorr[mode]                            # [B,2]
+        c = 2
+    else:
+        c = cfg.channels
+        sel = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), (b, c))
+        ch_code = jnp.full((b,), int(INDEPENDENT_CHANNELS[c]), jnp.int32)
+        bps_c = jnp.broadcast_to(bps_v, (b, c))
+
+    def gather_v(arr):
+        idx = sel.reshape(b, c, *([1] * (arr.ndim - 2)))
+        return jnp.take_along_axis(arr, idx.astype(jnp.int32), axis=1)
+
+    x_sel = gather_v(x_v)
+    is_lpc = gather_v(pred_is_lpc)
+    order = gather_v(pred_order)
+    const_sel = gather_v(const_ok)
+    f_order = gather_v(fixed_order)
+    l_order = gather_v(lpc_order)
+
+    # chosen taps & shift
+    taps_fix = jnp.asarray(FIXED_PREDICTOR_TAPS)[f_order]        # [B,C,4]
+    taps_fix = jnp.pad(taps_fix, ((0, 0), (0, 0), (0, t - 4)))
+    if p:
+        qc_sel = gather_v(qcoefs)                                # [B,C,P,P]
+        qs_sel = gather_v(qshifts)                               # [B,C,P]
+        lo_idx = (l_order - 1)[..., None, None].astype(jnp.int32)
+        taps_lpc = jnp.take_along_axis(qc_sel, lo_idx, axis=2)[:, :, 0]
+        if t > p:
+            taps_lpc = jnp.pad(taps_lpc, ((0, 0), (0, 0), (0, t - p)))
+        shift_lpc = jnp.take_along_axis(
+            qs_sel, (l_order - 1).astype(jnp.int32)[..., None], axis=2)[..., 0]
+        taps = jnp.where(is_lpc[..., None], taps_lpc, taps_fix)
+        shift = jnp.where(is_lpc, shift_lpc, 0).astype(jnp.int32)
+    else:
+        taps = taps_fix
+        shift = jnp.zeros((b, c), jnp.int32)
+
+    # ----- exact residual + exhaustive Rice plan --------------------------
+    res = predict_residual(x_sel, taps, shift)                   # [B,C,N] i64
+    in_resid = i_pos >= order[..., None]
+    zz = rice.zigzag(res) * in_resid
+    plan = rice.exact_plan(zz, order, cfg.porders,
+                           cfg.preferred_porders, cfg.kmax)
+
+    # ----- final kind by exact size ---------------------------------------
+    bps_c64 = bps_c.astype(jnp.int64)
+    pred_total = (8 + order.astype(jnp.int64) * bps_c64
+                  + jnp.where(is_lpc, 9 + order.astype(jnp.int64) * prec, 0)
+                  + plan.bits)
+    verb_total = 8 + n * bps_c64
+    kind = jnp.where(
+        const_sel, emit.KIND_CONSTANT,
+        jnp.where(verb_total < pred_total, emit.KIND_VERBATIM,
+                  jnp.where(is_lpc, emit.KIND_LPC, emit.KIND_FIXED)))
+    sub_bits = jnp.where(const_sel, 8 + bps_c64,
+                         jnp.minimum(verb_total, pred_total))
+
+    # ----- emission --------------------------------------------------------
+    hdr = frame_header_symbols(
+        first_index + jnp.arange(b, dtype=jnp.int64), ch_code, n)
+    sv, sl = emit.subframe_symbols(kind, order, bps_c, x_sel, taps, shift,
+                                   prec, zz, plan)
+    sv = sv.reshape(b, -1)
+    sl = sl.reshape(b, -1)
+
+    body_bits = (jnp.sum(hdr.lengths, axis=-1)
+                 + jnp.sum(sl, axis=-1, dtype=jnp.int64)).astype(jnp.int32)
+    pad = (-body_bits) % 8
+    values = jnp.concatenate(
+        [hdr.values, sv, jnp.zeros((b, 1), jnp.uint32)], axis=-1)
+    lengths = jnp.concatenate([hdr.lengths, sl, pad[:, None]], axis=-1)
+
+    frame_bytes, total_bits = pack_symbols(values, lengths,
+                                           cfg.max_frame_bytes)
+    nbytes = total_bits // 8
+    crc = crc16_over_rows(frame_bytes, nbytes)
+    pos = jnp.arange(cfg.max_frame_bytes, dtype=jnp.int32)
+    frame_bytes = jnp.where(pos == nbytes[:, None],
+                            (crc[:, None] >> 8).astype(jnp.uint8),
+                            frame_bytes)
+    frame_bytes = jnp.where(pos == (nbytes + 1)[:, None],
+                            (crc[:, None] & 0xFF).astype(jnp.uint8),
+                            frame_bytes)
+
+    return {
+        "bytes": frame_bytes,
+        "length": nbytes + 2,
+        "kind": kind,
+        "channel_code": ch_code,
+        "subframe_bits": sub_bits,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Host-facing driver
+
+
+class BatchEncoder:
+    """Jit-compiled batched frame encoder with host assembly."""
+
+    def __init__(self, config: EncoderConfig, batch_frames: int = 32,
+                 sharding=None):
+        self.config = config
+        self.batch_frames = batch_frames
+        fn = functools.partial(_encode_batch, config)
+        kwargs = {}
+        if sharding is not None:
+            kwargs["in_shardings"] = (sharding, None)
+        self._fn = jax.jit(fn, **kwargs)
+
+    def encode_batch_device(self, pcm: np.ndarray, first_index: int) -> dict:
+        """Run the device pipeline; pcm int32 ``[B, channels, N]``."""
+        return self._fn(jnp.asarray(pcm, jnp.int32),
+                        jnp.int64(first_index))
+
+    def encode_frames(self, pcm: np.ndarray,
+                      first_index: int) -> list[bytes]:
+        """Encode ``[F, channels, N]`` full blocks into frame byte strings."""
+        f = pcm.shape[0]
+        out: list[bytes] = []
+        bsz = self.batch_frames
+        pending: list[tuple[dict, int]] = []
+
+        def drain(entry):
+            result, valid = entry
+            data = np.asarray(result["bytes"])
+            lens = np.asarray(result["length"])
+            for r in range(valid):
+                out.append(data[r, : lens[r]].tobytes())
+
+        for start in range(0, f, bsz):
+            chunk = pcm[start: start + bsz]
+            valid = chunk.shape[0]
+            if valid < bsz:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bsz - valid, *chunk.shape[1:]),
+                                     chunk.dtype)], axis=0)
+            result = self.encode_batch_device(chunk, first_index + start)
+            pending.append((result, valid))
+            # keep at most one batch in flight to overlap host assembly
+            if len(pending) > 1:
+                drain(pending.pop(0))
+        while pending:
+            drain(pending.pop(0))
+        return out

@@ -1,0 +1,183 @@
+"""Batched LPC analysis: window → autocorrelation → all-order
+Levinson-Durbin → error-feedback quantization → integer residuals.
+
+TPU-first restructuring of reference flac/encoder.py:362-534:
+
+* the reference re-runs the Levinson recursion from scratch for every
+  candidate order (flac/encoder.py:374-375); here one ``lax.scan`` over the
+  recursion step yields *every* order's coefficients in a single sweep,
+* quantization's sequential error feedback becomes a second short scan over
+  the 32 tap positions, vectorised over all (batch, order) lanes at once,
+* analysis floats are f64 (numerically faithful to the CPython reference;
+  the FLOP count here is negligible next to the Rice/bit-pack stages),
+* residuals stay exact int64 — the analysis floats only influence *which*
+  coefficients are chosen, never round-trip correctness (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flacx.oracle.analyze import tukey_window
+
+
+@lru_cache(maxsize=None)
+def tukey_window_np(n: int, r: float = 0.5) -> np.ndarray:
+    """Window constants (f64), identical to the oracle/reference formula."""
+    return np.asarray(tukey_window(n, r), dtype=np.float64)
+
+
+def autocorrelate(w: jnp.ndarray, max_lag: int) -> jnp.ndarray:
+    """Autocorrelation for lags ``0..max_lag`` over the last axis.
+
+    Keeps the reference's summation range (drops the last product,
+    flac/encoder.py:443-450) so coefficient choices track the oracle.
+    Returns ``[..., max_lag+1]`` f64.
+    """
+    n = w.shape[-1]
+    cols = [jnp.sum(w[..., : n - lag - 1] * w[..., lag: n - 1], axis=-1)
+            for lag in range(max_lag + 1)]
+    return jnp.stack(cols, axis=-1)
+
+
+def levinson_all_orders(autoc: jnp.ndarray,
+                        max_order: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Levinson-Durbin for every order ``1..max_order`` in one scan.
+
+    Args:
+      autoc: ``[..., max_order+1]`` f64 autocorrelation values.
+    Returns:
+      ``(taps, valid)`` — taps ``[..., max_order, max_order]`` f64 (row
+      ``o-1`` holds the order-``o`` predictor, zero-padded) and a validity
+      mask ``[..., max_order]`` (False once the recursion degenerates, e.g.
+      digital silence where the reference raises ZeroDivisionError,
+      flac/encoder.py:469 / SURVEY.md §2.3.2).
+    """
+    p = max_order
+    lead = autoc.shape[:-1]
+    pos = jnp.arange(p + 1)
+
+    a0 = jnp.zeros((*lead, p + 1), jnp.float64).at[..., 0].set(1.0)
+    err0 = autoc[..., 0]
+    ok0 = jnp.ones(lead, bool)
+
+    def step(carry, k):
+        a, err, ok = carry
+        rev_idx = jnp.clip(k + 1 - pos, 0, p)
+        av = jnp.take(autoc, rev_idx, axis=-1)
+        ok = ok & (err > 0.0)
+        lam = -jnp.sum(a * av, axis=-1) / jnp.where(err > 0.0, err, 1.0)
+        lam = jnp.where(ok, lam, 0.0)
+        arev = jnp.take(a, rev_idx, axis=-1)
+        upd_mask = (pos <= k + 1).astype(a.dtype)
+        a = a + lam[..., None] * arev * upd_mask
+        err = err * (1.0 - lam * lam)
+        return (a, err, ok), (a, ok)
+
+    (_, _, _), (a_hist, ok_hist) = jax.lax.scan(
+        step, (a0, err0, ok0), jnp.arange(p))
+
+    # a_hist: [p, *lead, p+1] -> [*lead, p, p]
+    taps = jnp.moveaxis(a_hist, 0, -2)[..., 1:]
+    valid = jnp.moveaxis(ok_hist, 0, -1)
+    valid = valid & jnp.all(jnp.isfinite(taps), axis=-1)
+    return taps, valid
+
+
+def quantize_all_orders(taps: jnp.ndarray, precision: int,
+                        ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Error-feedback quantization for every order's tap set at once.
+
+    Mirrors oracle ``quantize_coefficients`` (itself libFLAC's algorithm,
+    reference flac/encoder.py:482-534 with the negative-shift defect fixed):
+    ``shift = precision - floor(log2(max|c|)) - 2`` clamped to the 5-bit
+    field, sequential round-half-even with running error.
+
+    Args:
+      taps: ``[..., orders, taps]`` f64.
+    Returns:
+      ``(qcoefs i32, shifts i32, valid bool)`` with shapes
+      ``[..., orders, taps]``, ``[..., orders]``, ``[..., orders]``.
+    """
+    p = taps.shape[-1]
+    cmax = jnp.max(jnp.abs(taps), axis=-1)
+    finite = jnp.isfinite(cmax) & (cmax > 0.0)
+    safe_cmax = jnp.where(finite, cmax, 1.0)
+    shift = precision - jnp.floor(jnp.log2(safe_cmax)).astype(jnp.int32) - 2
+    shift = jnp.clip(shift, -32, 15)
+    scale = jnp.exp2(shift.astype(jnp.float64))
+    emitted_shift = jnp.maximum(shift, 0)
+
+    qmax = (1 << (precision - 1)) - 1
+    qmin = -(1 << (precision - 1))
+
+    def step(err, t):
+        err = err + taps[..., t] * scale
+        q = jnp.clip(jnp.rint(err), qmin, qmax)
+        err = err - q
+        return err, q.astype(jnp.int32)
+
+    _, qs = jax.lax.scan(step, jnp.zeros(taps.shape[:-1], jnp.float64),
+                         jnp.arange(p))
+    qcoefs = jnp.moveaxis(qs, 0, -1)
+
+    # zero out taps beyond each row's order (row o-1 ⇒ order o)
+    order = jnp.arange(1, taps.shape[-2] + 1)
+    tap_mask = jnp.arange(p) < order[:, None]
+    qcoefs = jnp.where(tap_mask, qcoefs, 0)
+    return qcoefs, emitted_shift.astype(jnp.int32), finite
+
+
+def shift_right_k(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """x[..., i] -> x[..., i-k], zero-filled."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(k, 0)]
+    return jnp.pad(x, pad)[..., :-k] if k else x
+
+
+def predict_residual(x: jnp.ndarray, taps: jnp.ndarray,
+                     shift: jnp.ndarray) -> jnp.ndarray:
+    """Exact integer residual ``x[i] - (Σ_j taps_j·x[i-1-j] >> shift)``.
+
+    Args:
+      x: ``[..., n]`` integer samples.
+      taps: ``[..., T]`` int taps (zero beyond the true order).
+      shift: ``[...]`` int arithmetic right shift.
+    Returns:
+      ``[..., n]`` int64 (positions ``i < order`` hold junk; mask by order).
+
+    Parity: reference flac/encoder.py:537-548, int64 accumulation per
+    SURVEY.md §2.4.
+    """
+    x64 = x.astype(jnp.int64)
+    t = taps.shape[-1]
+    acc = jnp.zeros_like(x64)
+    for j in range(t):
+        acc = acc + taps[..., j, None].astype(jnp.int64) * shift_right_k(x64, j + 1)
+    pred = jnp.right_shift(acc, shift[..., None].astype(jnp.int64))
+    return x64 - pred
+
+
+def lpc_residuals_all(x: jnp.ndarray, qcoefs: jnp.ndarray,
+                      shifts: jnp.ndarray) -> jnp.ndarray:
+    """Exact residuals for every LPC order.
+
+    Args:
+      x: ``[..., n]`` int samples; qcoefs ``[..., P, P]``; shifts ``[..., P]``.
+    Returns:
+      ``[..., P, n]`` int64; row ``o-1`` valid at positions ``i >= o``.
+    """
+    p = qcoefs.shape[-2]
+    x64 = x.astype(jnp.int64)
+    shifted = [shift_right_k(x64, j + 1) for j in range(p)]
+    rows = []
+    for o in range(1, p + 1):
+        acc = jnp.zeros_like(x64)
+        for j in range(o):
+            acc = acc + qcoefs[..., o - 1, j, None].astype(jnp.int64) * shifted[j]
+        pred = jnp.right_shift(acc, shifts[..., o - 1, None].astype(jnp.int64))
+        rows.append(x64 - pred)
+    return jnp.stack(rows, axis=-2)

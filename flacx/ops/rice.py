@@ -1,0 +1,159 @@
+"""Exact exhaustive Rice parameter / partition-order search, batched.
+
+The reference re-sums every partition at every candidate order and uses a
+single mean-based parameter estimate (flac/encoder.py:655-753).  Here the
+per-partition quantities ``S_k = Σ (zigzag >> k)`` are computed ONCE at the
+finest partition level for every k, then coarser partition orders are pairwise
+sums up the tree — and the per-partition parameter is the *exact* argmin of
+``S_k + (k+1)·count`` over all k, which is strictly better (never worse) than
+the reference's estimate while remaining spec-conformant.
+
+Shapes: ``zz`` is ``[..., n]`` zigzag magnitudes with zeros at warmup
+positions ``i < order`` (zeros contribute nothing to any ``S_k``), ``order``
+is ``[...]``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+
+#: Bias added to fallback partition orders outside the user's requested
+#: range so they are only selected when every requested order is invalid
+#: (the reference asserts in that case, flac/encoder.py:669).
+FALLBACK_BIAS = 1 << 40
+INVALID = jnp.int64(1 << 50)
+
+
+class RicePlan(NamedTuple):
+    bits: jnp.ndarray        # [...]   exact residual section size in bits
+    porder: jnp.ndarray      # [...]   chosen partition order
+    width: jnp.ndarray       # [...]   parameter field width (4 or 5)
+    k_sample: jnp.ndarray    # [..., n] Rice parameter covering sample i
+    param_start: jnp.ndarray  # [..., n] bool: param symbol precedes sample i
+
+
+def zigzag(r: jnp.ndarray) -> jnp.ndarray:
+    """Signed int64 -> non-negative folded int64 (flac/utils.py:91-94)."""
+    r = r.astype(jnp.int64)
+    return (r << 1) ^ (r >> 63)
+
+
+def estimate_bits(zz_sum: jnp.ndarray, count: jnp.ndarray,
+                  kmax: int) -> jnp.ndarray:
+    """Cheap residual-size estimate used only for candidate *ranking*.
+
+    ``k ≈ floor(log2(mean))`` (libFLAC's estimate, flac/encoder.py:730-753),
+    size ≈ ``(Σu >> k) + (k+1)·m``.  Exact sizing happens in
+    :func:`exact_plan` for the winning candidate.
+    """
+    count = jnp.maximum(count, 1)
+    mean = zz_sum.astype(jnp.float64) / count
+    k = jnp.clip(jnp.floor(jnp.log2(jnp.maximum(mean, 1.0))), 0,
+                 kmax).astype(jnp.int64)
+    return (zz_sum >> k) + (k + 1) * count
+
+
+def partition_sums(zz: jnp.ndarray, max_porder: int,
+                   kmax: int) -> jnp.ndarray:
+    """``S[..., p, k] = Σ_{i in partition p} (zz_i >> k)`` at the finest level.
+
+    ``n`` must be divisible by ``2**max_porder``.
+    """
+    n = zz.shape[-1]
+    nparts = 1 << max_porder
+    psize = n >> max_porder
+    zzr = zz.reshape(*zz.shape[:-1], nparts, psize)
+    cols = [jnp.sum(zzr >> k, axis=-1) for k in range(kmax + 1)]
+    return jnp.stack(cols, axis=-1)  # [..., nparts, kmax+1]
+
+
+def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
+               preferred: Sequence[int], kmax: int) -> RicePlan:
+    """Choose partition order, method width and per-partition parameters.
+
+    Args:
+      zz: ``[..., n]`` zigzag magnitudes (int64), zeros at ``i < order``.
+      order: ``[...]`` predictor order (partition 0 is short by this much).
+      porders: static candidate partition orders (ascending, must divide n;
+        always contains 0 as a last-resort fallback).
+      preferred: subset of ``porders`` the user actually requested; other
+        entries carry :data:`FALLBACK_BIAS`.
+      kmax: largest Rice parameter searched (≤ 30).
+
+    Returns a :class:`RicePlan`; ``bits`` includes the 2-bit coding method
+    and 4-bit partition-order fields.
+    """
+    n = zz.shape[-1]
+    lead = zz.shape[:-1]
+    max_po = max(porders)
+    ks = jnp.arange(kmax + 1, dtype=jnp.int64)
+
+    # Finest-level sums, then halve up the tree.
+    s_by_po = {max_po: partition_sums(zz, max_po, kmax)}
+    for po in range(max_po, 0, -1):
+        s = s_by_po[po]
+        s_by_po[po - 1] = s[..., 0::2, :] + s[..., 1::2, :]
+
+    best_bits = jnp.full(lead, INVALID)
+    best_po = jnp.zeros(lead, jnp.int32)
+    best_width = jnp.full(lead, 4, jnp.int32)
+    k4_levels, k5_levels = {}, {}
+
+    n_k4 = min(kmax, 14) + 1  # 4-bit method can express k ≤ 14
+
+    for po in porders:
+        nparts = 1 << po
+        psize = n >> po
+        s = s_by_po[po]  # [..., nparts, kmax+1]
+        is_p0 = (jnp.arange(nparts) == 0)
+        cnt = psize - order[..., None] * is_p0  # [..., nparts]
+        bits_pk = s + (ks + 1) * cnt[..., None].astype(jnp.int64)
+
+        min4 = jnp.min(bits_pk[..., :n_k4], axis=-1)
+        arg4 = jnp.argmin(bits_pk[..., :n_k4], axis=-1).astype(jnp.int32)
+        min5 = jnp.min(bits_pk, axis=-1)
+        arg5 = jnp.argmin(bits_pk, axis=-1).astype(jnp.int32)
+        k4_levels[po], k5_levels[po] = arg4, arg5
+
+        tot4 = 6 + jnp.sum(4 + min4, axis=-1)
+        tot5 = 6 + jnp.sum(5 + min5, axis=-1)
+
+        valid = psize > order
+        bias = 0 if po in preferred else FALLBACK_BIAS
+        tot4 = jnp.where(valid, tot4 + bias, INVALID)
+        tot5 = jnp.where(valid, tot5 + bias, INVALID)
+
+        take4 = tot4 < best_bits
+        best_po = jnp.where(take4, po, best_po)
+        best_width = jnp.where(take4, 4, best_width)
+        best_bits = jnp.where(take4, tot4, best_bits)
+
+        take5 = tot5 < best_bits
+        best_po = jnp.where(take5, po, best_po)
+        best_width = jnp.where(take5, 5, best_width)
+        best_bits = jnp.where(take5, tot5, best_bits)
+
+    best_bits = best_bits - jnp.where(best_bits >= FALLBACK_BIAS,
+                                      FALLBACK_BIAS, 0)
+
+    # Per-sample parameter + partition-start mask for the chosen order.
+    i = jnp.arange(n, dtype=jnp.int32)
+    k_sample = jnp.zeros((*lead, n), jnp.int32)
+    param_start = jnp.zeros((*lead, n), bool)
+    for po in porders:
+        psize = n >> po
+        pidx = i // psize  # [n]
+        args = jnp.where((best_width == 4)[..., None],
+                         k4_levels[po], k5_levels[po])
+        k_here = jnp.take_along_axis(
+            args, jnp.broadcast_to(pidx, (*lead, n)).astype(jnp.int32),
+            axis=-1)
+        starts = ((i % psize == 0) & (i > 0)) | (i == order[..., None])
+        here = (best_po == po)[..., None]
+        k_sample = jnp.where(here, k_here, k_sample)
+        param_start = jnp.where(here, starts, param_start)
+
+    return RicePlan(bits=best_bits, porder=best_po, width=best_width,
+                    k_sample=k_sample, param_start=param_start)

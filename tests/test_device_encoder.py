@@ -1,0 +1,115 @@
+"""Device encode pipeline: bit-exact round-trip + format conformance.
+
+Every stream produced by the jitted pipeline must decode bit-exactly with
+the strict oracle decoder (CRC verification on).  Uses small blocks/orders
+to keep XLA compile times in check; the full-size config is exercised by
+bench.py and the CLI tests.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from flacx.encoder import BatchEncoder, EncoderConfig
+from flacx.format import MAGIC, Channels, MetadataBlockType, Streaminfo
+from flacx.oracle import decode_stream
+from flacx.oracle.encoder import (serialize_metadata_header,
+                                  serialize_streaminfo)
+
+from conftest import make_pcm
+
+
+def assemble(frames, cfg, total_frames):
+    return (MAGIC
+            + serialize_metadata_header(True, MetadataBlockType.Streaminfo, 34)
+            + serialize_streaminfo(Streaminfo(
+                cfg.block_size, cfg.block_size, 0, 0, cfg.sample_rate,
+                cfg.channels, cfg.bps, total_frames, bytes(16)))
+            + b"".join(frames))
+
+
+def planarize(pcm, n):
+    frames, c = pcm.shape
+    f = frames // n
+    return pcm[: f * n].T.reshape(c, f, n).transpose(1, 0, 2).astype(np.int32)
+
+
+def roundtrip(pcm, cfg, batch=2):
+    n = cfg.block_size
+    planar = planarize(pcm, n)
+    enc = BatchEncoder(cfg, batch_frames=batch)
+    frames = enc.encode_frames(planar, 0)
+    stream = assemble(frames, cfg, planar.shape[0] * n)
+    sr, bps, ch, cnt, rows = decode_stream(io.BytesIO(stream))
+    got = np.array([r for r in rows], dtype=np.int64)
+    np.testing.assert_array_equal(got, pcm[: planar.shape[0] * n])
+    return stream, frames
+
+
+CFG = EncoderConfig(block_size=256, max_lpc_order=6,
+                    partition_orders=(0, 1, 2, 3))
+
+
+@pytest.mark.parametrize("kind", ["tonal", "noise", "impulse", "silence"])
+def test_roundtrip_kinds(rng, kind):
+    pcm = make_pcm(rng, 256 * 6, 2, 16, kind)
+    roundtrip(pcm, CFG)
+
+
+def test_roundtrip_mono(rng):
+    pcm = make_pcm(rng, 256 * 5, 1, 16, "tonal")
+    roundtrip(pcm, EncoderConfig(block_size=256, max_lpc_order=6,
+                                 channels=1, partition_orders=(0, 1, 2)))
+
+
+def test_stereo_decorrelation_chosen(rng):
+    # strongly correlated channels: side channel almost silent → one of the
+    # decorrelated modes must win and round-trip exactly
+    n = 256 * 6
+    base = make_pcm(rng, n, 1, 16, "tonal")[:, 0]
+    noise = rng.integers(-2, 3, size=n)
+    pcm = np.stack([base, np.clip(base + noise, -32768, 32767)], axis=1)
+    pcm = pcm.astype(np.int32)
+    stream, frames = roundtrip(pcm, CFG)
+
+    enc = BatchEncoder(CFG, batch_frames=2)
+    r = enc.encode_batch_device(planarize(pcm, 256)[:2], 0)
+    codes = set(int(x) for x in np.asarray(r["channel_code"]))
+    assert codes <= {int(Channels.L_S), int(Channels.S_R), int(Channels.M_S)}
+
+    # and it must genuinely help vs independent coding
+    enc_ind = BatchEncoder(
+        EncoderConfig(block_size=256, max_lpc_order=6,
+                      partition_orders=(0, 1, 2, 3), stereo="independent"),
+        batch_frames=2)
+    ind_frames = enc_ind.encode_frames(planarize(pcm, 256), 0)
+    assert sum(map(len, frames)) < sum(map(len, ind_frames))
+
+
+def test_roundtrip_24bit(rng):
+    pcm = make_pcm(rng, 256 * 4, 2, 24, "tonal")
+    cfg = EncoderConfig(block_size=256, max_lpc_order=6, bps=24,
+                        sample_rate=96000, partition_orders=(0, 1, 2))
+    roundtrip(pcm, cfg)
+
+
+def test_partial_batch_padding(rng):
+    # 5 frames with batch 4: one padded dispatch, padded rows discarded
+    pcm = make_pcm(rng, 256 * 5, 2, 16, "tonal")
+    stream, frames = roundtrip(pcm, CFG, batch=4)
+    assert len(frames) == 5
+
+
+def test_frame_sizes_bounded(rng):
+    pcm = make_pcm(rng, 256 * 4, 2, 16, "noise")
+    stream, frames = roundtrip(pcm, CFG)
+    for f in frames:
+        assert len(f) <= CFG.max_frame_bytes
+
+
+def test_fixed_only_config(rng):
+    pcm = make_pcm(rng, 256 * 4, 2, 16, "tonal")
+    cfg = EncoderConfig(block_size=256, max_lpc_order=0,
+                        partition_orders=(0, 1, 2))
+    roundtrip(pcm, cfg)

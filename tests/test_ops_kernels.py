@@ -1,0 +1,200 @@
+"""Device kernels vs pure-Python/numpy oracles (CPU backend, 8 virt devices)."""
+
+import numpy as np
+import pytest
+
+import flacx.ops  # noqa: F401  (enables x64)
+import jax
+import jax.numpy as jnp
+
+from flacx.bitio import BitWriter
+from flacx.crc import crc8, crc16
+from flacx.format import FIXED_PREDICTOR_COEFFICIENTS
+from flacx.ops.bitpack import pack_symbols
+from flacx.ops.crcfold import crc8_fold, crc16_over_rows
+from flacx.ops.fixedpred import fixed_residuals
+from flacx.ops.lpc import (autocorrelate, levinson_all_orders,
+                           lpc_residuals_all, predict_residual,
+                           quantize_all_orders, tukey_window_np)
+from flacx.ops.rice import exact_plan, zigzag
+from flacx.oracle import analyze as oa
+from flacx.utils import zigzag_encode
+
+from conftest import make_pcm
+
+
+def test_fixed_residuals_match_oracle(rng):
+    x = rng.integers(-32768, 32768, size=(3, 64)).astype(np.int32)
+    got = np.asarray(fixed_residuals(jnp.asarray(x)))
+    for b in range(3):
+        for order, coefs in enumerate(FIXED_PREDICTOR_COEFFICIENTS):
+            want = oa.predict_residual(list(map(int, x[b])), coefs)
+            np.testing.assert_array_equal(got[b, order, order:], want)
+
+
+def test_lpc_analysis_matches_oracle(rng):
+    n, p, prec = 512, 8, 5
+    pcm = make_pcm(rng, n, 1, 16, "tonal")[:, 0]
+    w = tukey_window_np(n)
+    xw = jnp.asarray(pcm.astype(np.float64) * w)[None, :]
+
+    autoc = autocorrelate(xw, p)
+    want_autoc = oa.autocorrelation([float(v) for v in (pcm * w)], p + 1)
+    # XLA reduces pairwise vs the oracle's left-to-right sum: agreement is
+    # to rounding, not bit-exact (Levinson then amplifies the ulps).
+    np.testing.assert_allclose(np.asarray(autoc)[0], want_autoc, rtol=1e-12)
+
+    taps, valid = levinson_all_orders(autoc, p)
+    qcoefs, shifts, finite = quantize_all_orders(taps, prec)
+    assert bool(valid.all()) and bool(finite.all())
+
+    for order in range(1, p + 1):
+        want_taps = oa.levinson_durbin(want_autoc[: order + 1])
+        np.testing.assert_allclose(np.asarray(taps)[0, order - 1, :order],
+                                   want_taps, rtol=1e-5, atol=1e-8)
+
+    # Quantization on IDENTICAL float inputs must match the oracle exactly
+    # (same op order, round-half-even).
+    oracle_taps = np.zeros((1, p, p))
+    for order in range(1, p + 1):
+        oracle_taps[0, order - 1, :order] = oa.levinson_durbin(
+            want_autoc[: order + 1])
+    q2, s2, f2 = quantize_all_orders(jnp.asarray(oracle_taps), prec)
+    for order in range(1, p + 1):
+        wq, ws = oa.quantize_coefficients(
+            list(oracle_taps[0, order - 1, :order]), prec)
+        assert int(s2[0, order - 1]) == ws
+        np.testing.assert_array_equal(np.asarray(q2)[0, order - 1, :order], wq)
+
+    # Residuals from the DEVICE-chosen coefficients must be exactly what the
+    # integer oracle produces for those same coefficients.
+    res = lpc_residuals_all(jnp.asarray(pcm.astype(np.int32))[None], qcoefs,
+                            shifts)
+    qc_np, sh_np = np.asarray(qcoefs), np.asarray(shifts)
+    for order in range(1, p + 1):
+        want_res = oa.predict_residual(
+            list(map(int, pcm)), list(map(int, qc_np[0, order - 1, :order])),
+            int(sh_np[0, order - 1]))
+        np.testing.assert_array_equal(np.asarray(res)[0, order - 1, order:],
+                                      want_res)
+
+
+def test_predict_residual_unified(rng):
+    x = rng.integers(-1 << 20, 1 << 20, size=(2, 96)).astype(np.int64)
+    taps = np.zeros((2, 12), np.int32)
+    taps[0, :3] = [9, -4, 1]
+    taps[1, :5] = [31, -12, 7, -2, 1]
+    shift = np.array([2, 4], np.int32)
+    got = np.asarray(predict_residual(jnp.asarray(x), jnp.asarray(taps),
+                                      jnp.asarray(shift)))
+    for b, order in [(0, 3), (1, 5)]:
+        want = oa.predict_residual(list(map(int, x[b])),
+                                   list(map(int, taps[b, :order])),
+                                   int(shift[b]))
+        np.testing.assert_array_equal(got[b, order:], want)
+
+
+def test_zigzag_matches(rng):
+    r = rng.integers(-1 << 40, 1 << 40, size=128)
+    got = np.asarray(zigzag(jnp.asarray(r)))
+    want = [zigzag_encode(int(v)) for v in r]
+    np.testing.assert_array_equal(got, want)
+
+
+def _brute_force_rice(zz, order, porders, preferred, kmax, n):
+    best = None
+    for po in porders:
+        nparts = 1 << po
+        psize = n >> po
+        if psize <= order:
+            continue
+        bias = 0 if po in preferred else 1 << 40
+        for width in (4, 5):
+            klim = min(kmax, 14) if width == 4 else kmax
+            total = 6
+            for p in range(nparts):
+                lo = 0 if p == 0 else p * psize
+                # partition 0 spans [0, psize) but warmup zz entries are 0
+                part = zz[lo: (p + 1) * psize]
+                cnt = psize - (order if p == 0 else 0)
+                sizes = [sum(int(u) >> k for u in part) + (k + 1) * cnt
+                         for k in range(klim + 1)]
+                total += width + min(sizes)
+            cand = (total + bias, po, width)
+            if best is None or cand < best:
+                best = cand
+    return best[0] - (best[0] >= (1 << 40)) * (1 << 40), best[1], best[2]
+
+
+def test_exact_rice_plan_vs_bruteforce(rng):
+    n, kmax = 64, 18
+    porders = (0, 1, 2, 3)
+    for trial, scale in enumerate([3, 200, 40000]):
+        r = rng.integers(-scale, scale, size=n)
+        order = int(rng.integers(0, 5))
+        r[:order] = 0
+        zz = np.array([zigzag_encode(int(v)) for v in r], np.int64)
+        plan = exact_plan(jnp.asarray(zz)[None], jnp.asarray([order]),
+                          porders, porders, kmax)
+        want_bits, want_po, want_width = _brute_force_rice(
+            zz, order, porders, porders, kmax, n)
+        assert int(plan.bits[0]) == want_bits
+        assert int(plan.porder[0]) == want_po
+        assert int(plan.width[0]) == want_width
+        # per-sample parameters must reproduce the exact chosen size
+        k = np.asarray(plan.k_sample[0])
+        psize = n >> want_po
+        rice_bits = sum(int(zz[i] >> k[i]) + 1 + int(k[i])
+                        for i in range(n) if i >= order)
+        params = 6 + want_width * (1 << want_po)
+        assert rice_bits + params == want_bits
+        starts = np.asarray(plan.param_start[0])
+        want_starts = [i for i in range(n)
+                       if i == order or (i % psize == 0 and i > 0)]
+        assert list(np.nonzero(starts)[0]) == want_starts
+
+
+def test_pack_symbols_vs_bitwriter(rng):
+    b, s = 4, 200
+    lengths = rng.integers(0, 20, size=(b, s)).astype(np.int32)
+    lengths[:, ::7] = 0
+    lengths[0, 3] = 55  # long zero-run symbol
+    values = np.zeros((b, s), np.uint32)
+    for bi in range(b):
+        for si in range(s):
+            l = int(lengths[bi, si])
+            if 0 < l <= 32:
+                values[bi, si] = int(rng.integers(0, 1 << min(l, 31)))
+    # pad rows to byte alignment with a final symbol
+    pad = (-lengths.sum(axis=1)) % 8
+    lengths = np.concatenate([lengths, pad[:, None]], axis=1)
+    values = np.concatenate([values, np.zeros((b, 1), np.uint32)], axis=1)
+
+    max_bytes = 256
+    got_bytes, got_bits = pack_symbols(jnp.asarray(values),
+                                       jnp.asarray(lengths), max_bytes)
+    got_bytes, got_bits = np.asarray(got_bytes), np.asarray(got_bits)
+    for bi in range(b):
+        w = BitWriter()
+        for si in range(lengths.shape[1]):
+            w.write_uint(int(values[bi, si]), int(lengths[bi, si]))
+        want = w.getvalue()
+        assert got_bits[bi] == 8 * len(want)
+        np.testing.assert_array_equal(got_bytes[bi, : len(want)],
+                                      np.frombuffer(want, np.uint8))
+        assert not got_bytes[bi, len(want):].any()
+
+
+def test_crc_fold_matches_host(rng):
+    b, l = 8, 96
+    data = rng.integers(0, 256, size=(b, l)).astype(np.uint8)
+    lengths = rng.integers(1, l + 1, size=b).astype(np.int32)
+    got16 = np.asarray(crc16_over_rows(jnp.asarray(data),
+                                       jnp.asarray(lengths)))
+    pos = np.arange(l)
+    dist = lengths[:, None] - 1 - pos
+    got8 = np.asarray(crc8_fold(jnp.asarray(data.astype(np.uint32)),
+                                jnp.asarray(dist), jnp.asarray(dist >= 0)))
+    for i in range(b):
+        assert got16[i] == crc16(bytes(data[i, : lengths[i]]))
+        assert got8[i] == crc8(bytes(data[i, : lengths[i]]))
