@@ -1,0 +1,155 @@
+"""Command-line interface.
+
+Surface parity with the reference (flac/__main__.py:114-194): the same
+``encode``/``decode`` subcommands, the same ``-b/-l/-q/-r`` flags with the
+same defaults, metavars and help text, and the same completion-time print.
+flacx-specific extras (device control, batching, stereo policy) are added
+without disturbing that surface.
+"""
+
+from __future__ import annotations
+
+import sys
+from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
+from pathlib import Path
+from timeit import default_timer as timer
+
+import numpy as np
+
+from flacx.utils import argparse_range
+
+ACTION_ENCODE = "encode"
+ACTION_DECODE = "decode"
+
+DEFAULT_BLOCK_SIZE = 4608
+DEFAULT_MAX_LPC_ORDER = 12
+DEFAULT_QLP_COEFF_PRECISION = 5
+DEFAULT_RICE_PARTITION_ORDER = "5"
+
+
+def cmd_encode(path_in: Path, path_out: Path, block_size: int,
+               max_lpc_order: int, qlp_coeffs_precision: int,
+               rice_partition_order: range, batch_frames: int,
+               stereo: str, device: bool) -> None:
+    from flacx import pipeline
+    from flacx.wavio import read_wav
+
+    sample_rate, bps, channels, pcm = read_wav(path_in)
+    if sample_rate <= 48_000 and max_lpc_order > 12:
+        raise SystemExit(
+            "subset streams at <= 48 kHz require LPC order <= 12")
+
+    time_start = timer()
+    with path_out.open("wb") as f:
+        stats = pipeline.encode_to_file(
+            f, pcm, sample_rate=sample_rate, bps=bps, channels=channels,
+            block_size=block_size, max_lpc_order=max_lpc_order,
+            qlp_precision=qlp_coeffs_precision,
+            partition_orders=tuple(rice_partition_order),
+            batch_frames=batch_frames, stereo=stereo, device=device)
+    time_end = timer()
+
+    delta = "{0:.6g}".format(time_end - time_start)
+    print(f"Encoding completed in {delta} seconds")
+    ratio = stats["bytes_out"] / max(stats["bytes_in"], 1)
+    rt = stats["samples"] / sample_rate / max(time_end - time_start, 1e-9)
+    print(f"  {stats['bytes_in']} -> {stats['bytes_out']} bytes "
+          f"(ratio {ratio:.3f}), {rt:.1f}x realtime")
+
+
+def cmd_decode(path_in: Path, path_out: Path) -> None:
+    import io
+
+    from flacx.oracle import decode_stream
+    from flacx.wavio import write_wav
+
+    with path_in.open("rb") as f:
+        sample_rate, bps, channels, total, rows = decode_stream(f)
+        if bps % 8:
+            raise SystemExit("WAV output requires whole-byte sample sizes")
+
+        time_start = timer()
+        pcm = np.array([row for row in rows], dtype=np.int64)
+        time_end = timer()
+
+    write_wav(path_out, sample_rate, bps, pcm.astype(np.int32))
+    delta = "{0:.6g}".format(time_end - time_start)
+    print(f"Decoding completed in {delta} seconds")
+
+
+def make_argument_parser() -> ArgumentParser:
+    parser = ArgumentParser(prog="flacx",
+                            formatter_class=ArgumentDefaultsHelpFormatter)
+
+    action = parser.add_subparsers(title="action", dest="action",
+                                   required=True)
+
+    decode = action.add_parser(ACTION_DECODE,
+                               formatter_class=ArgumentDefaultsHelpFormatter)
+    decode.add_argument("infile", type=Path, metavar="infile.flac")
+    decode.add_argument("outfile", type=Path, metavar="outfile.wav")
+
+    encode = action.add_parser(ACTION_ENCODE,
+                               formatter_class=ArgumentDefaultsHelpFormatter)
+    encode.add_argument("infile", type=Path, metavar="infile.wav")
+    encode.add_argument("outfile", type=Path, metavar="outfile.flac")
+
+    encode.add_argument(
+        "-b", "--block-size", type=int, default=DEFAULT_BLOCK_SIZE,
+        help=("Blocksize in samples. "
+              "For subset streams this must be <= 4608 if the samplerate <= "
+              "48kHz. For  subset streams with higher samplerates it must be "
+              "<= 16384."),
+        metavar="N")
+    encode.add_argument(
+        "-l", "--max-lpc-order", type=int, default=DEFAULT_MAX_LPC_ORDER,
+        help=("Specifies  the  maximum LPC order. This number must "
+              "be <= 32. For subset streams, it must be <= 12 if the "
+              "sample rate is <= 48kHz."),
+        metavar="N")
+    encode.add_argument(
+        "-q", "--qlp-coeff-precision", type=int,
+        default=DEFAULT_QLP_COEFF_PRECISION,
+        help=("Precision of the quantized linear-predictor coefficients. "
+              "(min is 5)"),
+        metavar="N")
+    encode.add_argument(
+        "-r", "--rice-partition-order", type=argparse_range,
+        default=DEFAULT_RICE_PARTITION_ORDER,
+        help=("[min,]max residual partition order (0..15). min defaults to "
+              "0 if unspecified."),
+        metavar="[M,]N")
+
+    # flacx extensions (absent from the reference surface)
+    encode.add_argument(
+        "--batch-frames", type=int, default=32,
+        help="Frames per device dispatch.", metavar="N")
+    encode.add_argument(
+        "--stereo", choices=("auto", "independent"), default="auto",
+        help="Stereo decorrelation policy (auto searches L/S, S/R, M/S).")
+    encode.add_argument(
+        "--no-device", action="store_true",
+        help="Encode on the host oracle instead of the TPU/XLA pipeline.")
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = make_argument_parser()
+    args = parser.parse_args(argv)
+
+    if args.action == ACTION_DECODE:
+        cmd_decode(args.infile, args.outfile)
+
+    if args.action == ACTION_ENCODE:
+        if isinstance(args.rice_partition_order, str):
+            args.rice_partition_order = argparse_range(
+                args.rice_partition_order)
+        cmd_encode(args.infile, args.outfile, args.block_size,
+                   args.max_lpc_order, args.qlp_coeff_precision,
+                   args.rice_partition_order, args.batch_frames,
+                   args.stereo, not args.no_device)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,12 @@
+"""Multi-chip scale-out via jax.sharding.
+
+The codec is embarrassingly parallel over frames (each FLAC frame is fully
+self-contained, SURVEY.md §2.2), so the primary layout is a 1-D ``frames``
+mesh with batches sharded on the leading axis; XLA inserts the only needed
+collective (an all-reduce for aggregate statistics).  Corpus-scale encode
+shards file-buckets the same way.
+"""
+
+from flacx.parallel.mesh import data_mesh, frame_sharding
+
+__all__ = ["data_mesh", "frame_sharding"]

@@ -1,0 +1,85 @@
+"""End-to-end encode orchestration: device pipeline + host assembly.
+
+Full blocks stream through the jitted ``BatchEncoder``; the (at most one)
+short final block goes through the oracle — the sequential tail isn't worth
+a device dispatch shape.  The stream writer computes MD5 and patches
+Streaminfo on finalize.
+"""
+
+from __future__ import annotations
+
+from typing import BinaryIO
+
+import numpy as np
+
+from flacx.format import INDEPENDENT_CHANNELS
+from flacx.stream import StreamWriter
+
+
+def _oracle_frame(pcm_rows: np.ndarray, index: int, bps: int,
+                  block_size: int, max_lpc_order: int, qlp_precision: int,
+                  partition_orders: tuple[int, ...]) -> bytes:
+    from flacx.oracle.encoder import EncoderParameters, encode_frame
+
+    channels = pcm_rows.shape[1]
+    params = EncoderParameters(
+        block_size=block_size,
+        rice_partition_order=range(min(partition_orders),
+                                   max(partition_orders) + 1),
+        lpc_order=range(0, max_lpc_order + 1),
+        qlp_precision=qlp_precision)
+    planar = [list(map(int, pcm_rows[:, c])) for c in range(channels)]
+    return encode_frame(planar, INDEPENDENT_CHANNELS[channels], index, bps,
+                        params)
+
+
+def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
+                   bps: int, channels: int, block_size: int,
+                   max_lpc_order: int, qlp_precision: int,
+                   partition_orders: tuple[int, ...], batch_frames: int = 32,
+                   stereo: str = "auto", device: bool = True,
+                   sharding=None) -> dict:
+    """Encode interleaved PCM ``[frames, channels]`` into ``f`` (seekable).
+
+    Returns a stats dict (bytes in/out, frame count, samples).
+    """
+    total = pcm.shape[0]
+    writer = StreamWriter(f, sample_rate, bps, channels, total, block_size)
+    writer.add_pcm(pcm)
+
+    n_full = total // block_size
+    tail = total - n_full * block_size
+
+    if device and n_full:
+        from flacx.encoder import BatchEncoder, EncoderConfig
+        cfg = EncoderConfig(
+            sample_rate=sample_rate, bps=bps, channels=channels,
+            block_size=block_size, max_lpc_order=max_lpc_order,
+            qlp_precision=qlp_precision, partition_orders=partition_orders,
+            stereo=stereo)
+        enc = BatchEncoder(cfg, batch_frames=batch_frames,
+                           sharding=sharding)
+        planar = (pcm[: n_full * block_size]
+                  .reshape(n_full, block_size, channels)
+                  .transpose(0, 2, 1).astype(np.int32))
+        writer.write_frames(enc.encode_frames(planar, 0))
+    else:
+        for i in range(n_full):
+            rows = pcm[i * block_size:(i + 1) * block_size]
+            writer.write_frame(_oracle_frame(
+                rows, i, bps, block_size, max_lpc_order, qlp_precision,
+                partition_orders))
+
+    if tail:
+        rows = pcm[n_full * block_size:]
+        writer.write_frame(_oracle_frame(
+            rows, n_full, bps, block_size, max_lpc_order, qlp_precision,
+            partition_orders))
+
+    writer.finalize()
+    return {
+        "samples": total,
+        "frames": n_full + (1 if tail else 0),
+        "bytes_in": pcm.shape[0] * channels * (bps // 8),
+        "bytes_out": f.tell(),
+    }
