@@ -1,0 +1,119 @@
+"""flacx headline benchmark.
+
+Measures the device encode pipeline's steady-state throughput on one chip
+(16-bit/44.1 kHz stereo, LPC order 12, block 4608, subset defaults — the
+BASELINE.json headline config), validates a bit-exact round-trip of one
+batch through the strict oracle decoder, and prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+vs_baseline is against the measured reference encoder throughput of
+38.6k samples/s (BASELINE.md: 176,400 samples in 4.567 s, single CPU core).
+
+Methodology notes: dispatches are queued with distinct inputs and a small
+device-side reduction is fetched per batch, so the figure reflects the
+pipeline (PCM in HBM → complete CRC'd FLAC frames in HBM).  The dev-tunnel
+host link (~30 MB/s) is not representative of production host I/O and is
+excluded; correctness of the exact bytes is asserted separately.
+"""
+
+import io
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/flacx_jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+
+import numpy as np  # noqa: E402
+
+REFERENCE_SAMPLES_PER_SEC = 38_600.0
+
+
+def synth_pcm(rng: np.random.Generator, frames: int) -> np.ndarray:
+    t = np.arange(frames, dtype=np.float64)
+    left = (0.6 * np.sin(2 * np.pi * 220.0 / 44100.0 * t)
+            + 0.25 * np.sin(2 * np.pi * 587.3 / 44100.0 * t + 0.3)
+            + 0.02 * rng.standard_normal(frames))
+    right = (0.55 * np.sin(2 * np.pi * 329.6 / 44100.0 * t + 0.1)
+             + 0.2 * np.sin(2 * np.pi * 880.0 / 44100.0 * t)
+             + 0.02 * rng.standard_normal(frames))
+    pcm = np.stack([left, right], axis=1)
+    return np.clip(pcm * 22000, -32768, 32767).astype(np.int32)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from flacx.encoder import BatchEncoder, EncoderConfig
+    from flacx.format import MAGIC, MetadataBlockType, Streaminfo
+    from flacx.oracle import decode_stream
+    from flacx.oracle.encoder import (serialize_metadata_header,
+                                      serialize_streaminfo)
+
+    rng = np.random.default_rng(0xF1AC)
+    n, b = 4608, 128
+    cfg = EncoderConfig(block_size=n, max_lpc_order=12)
+    enc = BatchEncoder(cfg, batch_frames=b)
+
+    pcm = synth_pcm(rng, n * b)
+    planar = jnp.asarray(
+        pcm.reshape(b, n, 2).transpose(0, 2, 1).astype(np.int32))
+
+    # -- correctness gate: bit-exact round-trip through the strict decoder
+    result = enc.encode_batch_device(np.asarray(planar), 0)
+    lens = np.asarray(result["length"])
+    data = np.asarray(result["bytes"])
+    stream = (MAGIC
+              + serialize_metadata_header(True, MetadataBlockType.Streaminfo,
+                                          34)
+              + serialize_streaminfo(Streaminfo(n, n, 0, 0, 44100, 2, 16,
+                                                n * b, bytes(16)))
+              + b"".join(data[i, : lens[i]].tobytes() for i in range(b)))
+    *_, rows = decode_stream(io.BytesIO(stream))
+    got = np.array([r for r in rows], dtype=np.int64)
+    assert np.array_equal(got, pcm), "round-trip mismatch — refusing to bench"
+    ratio = len(stream) / pcm.nbytes * 2  # int32 holds 16-bit samples
+
+    # -- steady-state throughput (slope method, queued dispatches)
+    def reduced(p, idx):
+        out = enc._fn(p, idx)
+        return jnp.sum(out["length"]), jnp.sum(out["bytes"][:, 0]
+                                               .astype(jnp.int32))
+
+    f = jax.jit(reduced)
+
+    def run(iters: int, base: int) -> float:
+        t0 = time.time()
+        outs = [f(planar + (i % 3), jnp.int64(base + i))
+                for i in range(iters)]
+        for o in outs:
+            int(o[0])
+        return time.time() - t0
+
+    run(2, 10)            # warm both variants
+    t_small = run(3, 100)
+    iters = 33
+    t_big = run(3 + iters, 200)
+    dt = (t_big - t_small) / iters
+    samples_per_sec = b * n * 2 / dt
+
+    print(json.dumps({
+        "metric": ("Encoded PCM samples/sec/chip "
+                   "(16-bit stereo, LPC-12, bit-exact round-trip)"),
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 1),
+        "detail": {
+            "ms_per_batch": round(dt * 1e3, 2),
+            "batch_frames": b,
+            "block_size": n,
+            "realtime_x": round(samples_per_sec / 88200.0, 1),
+            "compression_ratio": round(ratio, 4),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,22 +57,27 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
           f"(ratio {ratio:.3f}), {rt:.1f}x realtime")
 
 
-def cmd_decode(path_in: Path, path_out: Path) -> None:
-    import io
+def cmd_decode(path_in: Path, path_out: Path, device: bool = True) -> None:
+    import hashlib
 
-    from flacx.oracle import decode_stream
-    from flacx.wavio import write_wav
+    from flacx.decoder import decode_array
+    from flacx.wavio import pcm_to_le_bytes, write_wav
 
-    with path_in.open("rb") as f:
-        sample_rate, bps, channels, total, rows = decode_stream(f)
-        if bps % 8:
-            raise SystemExit("WAV output requires whole-byte sample sizes")
+    data = path_in.read_bytes()
 
-        time_start = timer()
-        pcm = np.array([row for row in rows], dtype=np.int64)
-        time_end = timer()
+    time_start = timer()
+    streaminfo, pcm = decode_array(data, device=device)
+    time_end = timer()
 
-    write_wav(path_out, sample_rate, bps, pcm.astype(np.int32))
+    if streaminfo.sample_size % 8:
+        raise SystemExit("WAV output requires whole-byte sample sizes")
+    if streaminfo.md5 != bytes(16):
+        got = hashlib.md5(
+            pcm_to_le_bytes(pcm, streaminfo.sample_size)).digest()
+        if got != streaminfo.md5:
+            raise SystemExit("decoded audio MD5 mismatch")
+
+    write_wav(path_out, streaminfo.sample_rate, streaminfo.sample_size, pcm)
     delta = "{0:.6g}".format(time_end - time_start)
     print(f"Decoding completed in {delta} seconds")
 
@@ -88,6 +93,10 @@ def make_argument_parser() -> ArgumentParser:
                                formatter_class=ArgumentDefaultsHelpFormatter)
     decode.add_argument("infile", type=Path, metavar="infile.flac")
     decode.add_argument("outfile", type=Path, metavar="outfile.wav")
+    decode.add_argument(
+        "--no-device", action="store_true",
+        help="Decode with the sequential host oracle instead of the "
+             "batched pipeline.")
 
     encode = action.add_parser(ACTION_ENCODE,
                                formatter_class=ArgumentDefaultsHelpFormatter)
@@ -139,7 +148,7 @@ def main(argv: list[str] | None = None) -> None:
     args = parser.parse_args(argv)
 
     if args.action == ACTION_DECODE:
-        cmd_decode(args.infile, args.outfile)
+        cmd_decode(args.infile, args.outfile, not args.no_device)
 
     if args.action == ACTION_ENCODE:
         if isinstance(args.rice_partition_order, str):

@@ -1,0 +1,206 @@
+"""Batched TPU-native FLAC decoder.
+
+Three phases (SURVEY.md §7 step 5 / hard part #2 — the sequential decode
+grammar is split so only the cheap part stays serial):
+
+1. **Frame boundary scan** (host, vectorized): candidate frame starts are
+   byte positions matching the 14-bit sync pattern whose header parses and
+   whose CRC-8 matches — a strong (~2^-30 false positive) filter evaluated
+   for all offsets at once; candidates are then chained by their coded
+   frame numbers.  No residual decoding is needed to find boundaries.
+2. **Lockstep payload parse** (host, numpy): all frames of a batch advance
+   through the subframe grammar together (``flacx.hostdec``).
+3. **Reconstruction** (device): one ``lax.scan`` rebuilds every subframe's
+   IIR in parallel over the batch, followed by stereo undecorrelation and
+   wasted-bits restore (``flacx.ops.reconstruct``).
+
+Frames the batch path cannot handle (the short final block, variable
+blocking strategies) fall back to the strict oracle decoder.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Iterator
+
+import numpy as np
+
+from flacx.bitio import BitReader
+from flacx.crc import crc8, crc16_batch
+from flacx.format import MAGIC, Channels, MetadataBlockType, Streaminfo
+from flacx.oracle.decoder import (FlacFormatError, read_frame,
+                                  read_metadata_header, read_streaminfo)
+
+
+def parse_stream_header(data: bytes) -> tuple[Streaminfo, int]:
+    """Parse magic + metadata blocks; return (streaminfo, first frame byte)."""
+    r = BitReader(data)
+    if r.read_bytes(4) != MAGIC:
+        raise FlacFormatError("not a FLAC stream")
+    streaminfo = None
+    while True:
+        header = read_metadata_header(r)
+        if header.type == MetadataBlockType.Streaminfo:
+            streaminfo = read_streaminfo(r)
+        else:
+            r.read_bytes(header.length)
+        if header.last:
+            break
+    if streaminfo is None:
+        raise FlacFormatError("missing streaminfo")
+    return streaminfo, r.bit_position // 8
+
+
+def scan_frame_offsets(data: bytes, first: int,
+                       expect_bs_code_common: bool = True) -> np.ndarray:
+    """Find frame start offsets via sync + CRC-8 candidate filtering.
+
+    Returns byte offsets of validated frame headers in ascending order.
+    Candidates failing the chain (wrong/duplicate coded numbers) are
+    resolved conservatively; ambiguity raises so the caller can fall back
+    to sequential decoding.
+    """
+    import flacx.coded_number as cn
+
+    arr = np.frombuffer(data, np.uint8)
+    cand = np.nonzero((arr[first:-16] == 0xFF)
+                      & ((arr[first + 1:-15] & 0xFE) == 0xF8))[0] + first
+
+    offsets: list[int] = []
+    numbers: list[int] = []
+    for off in cand.tolist():
+        # parse the variable-length header to find its CRC-8
+        b0 = arr[off + 4]
+        extra = cn.following_bytes(int(b0))
+        pos = off + 5 + extra
+        bs_code = arr[off + 2] >> 4
+        sr_code = arr[off + 2] & 0xF
+        if bs_code == 0b0110:
+            pos += 1
+        elif bs_code == 0b0111:
+            pos += 2
+        if sr_code == 0b1100:
+            pos += 1
+        elif sr_code in (0b1101, 0b1110):
+            pos += 2
+        if pos >= len(arr):
+            continue
+        if crc8(bytes(arr[off:pos])) != arr[pos]:
+            continue
+        try:
+            number = cn.decode(bytes(arr[off + 4: off + 5 + extra]))
+        except ValueError:
+            continue
+        offsets.append(off)
+        numbers.append(number)
+
+    # chain by frame number: accept the first candidate carrying the next
+    # expected index (false positives either carry a wrong number or break
+    # the count check downstream, which falls back to sequential decode)
+    chain: list[int] = []
+    last_off = first - 1
+    for off, num in zip(offsets, numbers):
+        if num == len(chain) and off > last_off:
+            chain.append(off)
+            last_off = off
+    return np.asarray(chain, np.int64)
+
+
+def decode_array(data: bytes, batch_frames: int = 256,
+                 verify_crc: bool = True, device: bool = True) -> tuple[
+                     Streaminfo, np.ndarray]:
+    """Decode a whole FLAC stream to PCM ``[frames, channels]`` int32."""
+    streaminfo, first = parse_stream_header(data)
+    n = streaminfo.max_block_size
+    c = streaminfo.channels
+    total = streaminfo.samples
+
+    if (not device or streaminfo.min_block_size != streaminfo.max_block_size):
+        return streaminfo, _decode_sequential(data, streaminfo)
+
+    try:
+        offsets = scan_frame_offsets(data, first)
+    except FlacFormatError:
+        return streaminfo, _decode_sequential(data, streaminfo)
+
+    n_full = total // n
+    tail = total - n_full * n
+    if len(offsets) != n_full + (1 if tail else 0):
+        return streaminfo, _decode_sequential(data, streaminfo)
+
+    out = np.zeros((total, c), np.int64)
+    ends = np.append(offsets[1:], len(data))
+
+    # full-size frames via the batch path
+    for lo in range(0, n_full, batch_frames):
+        hi = min(lo + batch_frames, n_full)
+        batch_off = offsets[lo:hi]
+        batch_end = ends[lo:hi]
+        width = int((batch_end - batch_off).max())
+        rows = np.zeros((hi - lo, width), np.uint8)
+        arr = np.frombuffer(data, np.uint8)
+        for i, (o, e) in enumerate(zip(batch_off, batch_end)):
+            rows[i, : e - o] = arr[o:e]
+        if verify_crc:
+            lens = (batch_end - batch_off).astype(np.int64)
+            crcs = crc16_batch(rows, lens - 2)
+            stored = ((rows[np.arange(hi - lo), lens - 2].astype(np.uint16)
+                       << 8)
+                      | rows[np.arange(hi - lo), lens - 1])
+            if not np.array_equal(crcs, stored.astype(np.uint16)):
+                raise FlacFormatError("frame CRC-16 mismatch")
+        pcm = _decode_rows(rows, n, c, streaminfo.sample_size)
+        out[lo * n: hi * n] = pcm.reshape(-1, c)
+
+    # short final frame via the oracle
+    if tail:
+        r = BitReader(data)
+        r.read_bytes(int(offsets[-1]))
+        _, planar = read_frame(r, streaminfo, verify_crc=verify_crc)
+        out[n_full * n:] = np.array(planar, np.int64).T
+
+    return streaminfo, out.astype(np.int32)
+
+
+def _decode_rows(rows: np.ndarray, n: int, c: int, bps: int) -> np.ndarray:
+    """Parse + reconstruct one batch of equal-size frames → [F, N, C]."""
+    import jax.numpy as jnp
+
+    from flacx.hostdec import parse_frames
+    from flacx.ops.reconstruct import reconstruct_predicted, undo_decorrelation
+
+    f = rows.shape[0]
+    parsed = parse_frames(rows, np.zeros(f, np.int64), n, c, bps)
+
+    res = jnp.asarray(parsed.residual)
+    taps = jnp.asarray(parsed.taps.astype(np.int32))
+    shift = jnp.asarray(parsed.shift.astype(np.int32))
+    order = jnp.asarray(parsed.order.astype(np.int32))
+    x = reconstruct_predicted(res, taps, shift, order)
+    x = x << jnp.asarray(parsed.wasted)[..., None].astype(jnp.int64)
+
+    if c == 2:
+        left, right = undo_decorrelation(
+            x[:, 0], x[:, 1], jnp.asarray(parsed.channel_code
+                                          .astype(np.int32)))
+        x = jnp.stack([left, right], axis=1)
+    return np.asarray(x).transpose(0, 2, 1)
+
+
+def _decode_sequential(data: bytes, streaminfo: Streaminfo) -> np.ndarray:
+    """Oracle fallback: strict sequential decode."""
+    r = BitReader(data)
+    r.read_bytes(4)
+    while True:
+        header = read_metadata_header(r)
+        if header.type == MetadataBlockType.Streaminfo:
+            read_streaminfo(r)
+        else:
+            r.read_bytes(header.length)
+        if header.last:
+            break
+    chunks = []
+    while not r.at_eof():
+        _, planar = read_frame(r, streaminfo)
+        chunks.append(np.array(planar, np.int64).T)
+    return np.concatenate(chunks, axis=0).astype(np.int32)

@@ -119,8 +119,13 @@ class EncoderConfig:
 
 
 def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
-                  first_index: jnp.ndarray) -> dict:
-    """pcm int32 ``[B, channels, N]`` → packed frames ``[B, max_bytes]``."""
+                  first_index: jnp.ndarray,
+                  _stop_after: str | None = None) -> dict:
+    """pcm int32 ``[B, channels, N]`` → packed frames ``[B, max_bytes]``.
+
+    ``_stop_after`` truncates the pipeline for stage-level profiling
+    ("analysis" | "select" | "residual" | "plan" | "emit" | "pack").
+    """
     n = cfg.block_size
     b = pcm.shape[0]
     p = cfg.max_lpc_order
@@ -175,6 +180,8 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         est = jnp.where(jnp.concatenate(
             [jnp.ones((b, nv, 5), bool), lpc_valid], axis=-1), est, _INF)
 
+    if _stop_after == "analysis":
+        return {"est": est}
     fixed_bits = jnp.min(est[..., :5], axis=-1)
     fixed_order = jnp.argmin(est[..., :5], axis=-1).astype(jnp.int32)
     if p:
@@ -242,11 +249,17 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         shift = jnp.zeros((b, c), jnp.int32)
 
     # ----- exact residual + exhaustive Rice plan --------------------------
+    if _stop_after == "select":
+        return {"taps": taps, "shift": shift, "order": order}
     res = predict_residual(x_sel, taps, shift)                   # [B,C,N] i64
     in_resid = i_pos >= order[..., None]
     zz = rice.zigzag(res) * in_resid
+    if _stop_after == "residual":
+        return {"zz": zz}
     plan = rice.exact_plan(zz, order, cfg.porders,
                            cfg.preferred_porders, cfg.kmax)
+    if _stop_after == "plan":
+        return {"bits": plan.bits, "k": plan.k_sample}
 
     # ----- final kind by exact size ---------------------------------------
     bps_c64 = bps_c.astype(jnp.int64)
@@ -276,8 +289,12 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         [hdr.values, sv, jnp.zeros((b, 1), jnp.uint32)], axis=-1)
     lengths = jnp.concatenate([hdr.lengths, sl, pad[:, None]], axis=-1)
 
+    if _stop_after == "emit":
+        return {"sv": values, "sl": lengths}
     frame_bytes, total_bits = pack_symbols(values, lengths,
                                            cfg.max_frame_bytes)
+    if _stop_after == "pack":
+        return {"bytes": frame_bytes, "bits": total_bits}
     nbytes = total_bits // 8
     crc = crc16_over_rows(frame_bytes, nbytes)
     pos = jnp.arange(cfg.max_frame_bytes, dtype=jnp.int32)

@@ -39,7 +39,72 @@ def power_table(width: int, poly_with_top: int, max_len: int) -> np.ndarray:
 
 
 def _xor_reduce(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.reduce(x, jnp.uint32(0), jax.lax.bitwise_xor, (x.ndim - 1,))
+    """XOR-reduce the last axis via a log-depth pairwise tree."""
+    n = x.shape[-1]
+    while n > 1:
+        if n % 2:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, 1)]
+            x = jnp.pad(x, pad)
+            n += 1
+        x = x[..., : n // 2] ^ x[..., n // 2:]
+        n //= 2
+    return x[..., 0]
+
+
+def _clmul16(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Carry-less multiply of two ≤16-bit values (≤ 31-bit product)."""
+    prod = jnp.zeros_like(a)
+    for t in range(16):
+        prod = prod ^ ((a << t) * ((b >> t) & jnp.uint32(1)))
+    return prod
+
+
+def _barrett(x: jnp.ndarray, width: int, poly_with_top: int,
+             in_bits: int) -> jnp.ndarray:
+    for t in range(in_bits - 1, width - 1, -1):
+        bit = (x >> t) & jnp.uint32(1)
+        x = x ^ (jnp.uint32(poly_with_top << (t - width)) * bit)
+    return x
+
+
+def _gf_mul(a: int, b: int, width: int, poly_with_top: int) -> int:
+    """Carry-less multiply mod P (host helper)."""
+    res = 0
+    while b:
+        if b & 1:
+            res ^= a
+        b >>= 1
+        a = _gf_mod(a << 1, width, poly_with_top)
+    return res
+
+
+@lru_cache(maxsize=None)
+def inverse_power_table(width: int, poly_with_top: int,
+                        max_len: int) -> np.ndarray:
+    """``tab[p] = x^(-8p) mod P`` for zero-pad lengths ``0..max_len-1``.
+
+    ``x`` is a unit mod P because FLAC's CRC polynomials have a constant
+    term; its multiplicative order ``ord`` is found by iteration, then
+    ``x^(-8) = x^(ord-8)`` and the table is built by repeated modular
+    multiplication.
+    """
+    acc, order = _gf_mod(1 << 1, width, poly_with_top), 1
+    while acc != 1:
+        acc = _gf_mod(acc << 1, width, poly_with_top)
+        order += 1
+    # c = x^(order-8) = x^{-8}
+    c, e, base = 1, (order - 8) % order, 2
+    while e:
+        if e & 1:
+            c = _gf_mul(c, base, width, poly_with_top)
+        base = _gf_mul(base, base, width, poly_with_top)
+        e >>= 1
+    out = np.zeros(max_len, np.uint32)
+    v = 1
+    for p in range(max_len):
+        out[p] = v
+        v = _gf_mul(v, c, width, poly_with_top)
+    return out
 
 
 def crc_fold(byte_vals: jnp.ndarray, distances: jnp.ndarray,
@@ -75,12 +140,27 @@ def crc_fold(byte_vals: jnp.ndarray, distances: jnp.ndarray,
 
 
 def crc16_over_rows(data: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
-    """CRC-16 of ``data[b, :lengths[b]]`` per row; ``data`` is ``[..., L]`` u8."""
+    """CRC-16 of ``data[b, :lengths[b]]`` per row; ``data`` is ``[..., L]`` u8.
+
+    Bytes past ``lengths`` must already be zero (the bit packer guarantees
+    this).  The fold then uses FIXED per-position constants — a compile-time
+    vector, no gathers — because trailing zeros only multiply the true CRC
+    by ``x^(8·pad)``, which one per-row inverse-power lookup undoes.
+    """
     l = data.shape[-1]
-    pos = jnp.arange(l, dtype=jnp.int32)
-    dist = lengths[..., None] - 1 - pos
-    return crc_fold(data.astype(jnp.uint32), dist, dist >= 0,
-                    16, CRC16_POLYNOMIAL)
+    tab = power_table(16, CRC16_POLYNOMIAL, l + 1)
+    k = jnp.asarray(tab[l - 1::-1].copy())          # fixed distance L-1-i
+    b = data.astype(jnp.uint32)
+
+    prod = jnp.zeros_like(b)
+    for t in range(8):
+        bit = (b >> t) & jnp.uint32(1)
+        prod = prod ^ ((k << t) * bit)
+    folded = _barrett(_xor_reduce(prod), 16, CRC16_POLYNOMIAL, 23)
+
+    inv = jnp.asarray(inverse_power_table(16, CRC16_POLYNOMIAL, l + 1))
+    fix = inv[jnp.clip(l - lengths, 0, l)]
+    return _barrett(_clmul16(folded, fix), 16, CRC16_POLYNOMIAL, 31)
 
 
 def crc8_fold(byte_vals: jnp.ndarray, distances: jnp.ndarray,

@@ -79,7 +79,7 @@ def levinson_all_orders(autoc: jnp.ndarray,
         return (a, err, ok), (a, ok)
 
     (_, _, _), (a_hist, ok_hist) = jax.lax.scan(
-        step, (a0, err0, ok0), jnp.arange(p))
+        step, (a0, err0, ok0), jnp.arange(p), unroll=True)
 
     # a_hist: [p, *lead, p+1] -> [*lead, p, p]
     taps = jnp.moveaxis(a_hist, 0, -2)[..., 1:]
@@ -122,7 +122,7 @@ def quantize_all_orders(taps: jnp.ndarray, precision: int,
         return err, q.astype(jnp.int32)
 
     _, qs = jax.lax.scan(step, jnp.zeros(taps.shape[:-1], jnp.float64),
-                         jnp.arange(p))
+                         jnp.arange(p), unroll=True)
     qcoefs = jnp.moveaxis(qs, 0, -1)
 
     # zero out taps beyond each row's order (row o-1 ⇒ order o)

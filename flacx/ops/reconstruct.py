@@ -1,0 +1,74 @@
+"""Batched predictor reconstruction (decode side).
+
+The IIR ``x[i] = r[i] + (Σ_j c_j·x[i-1-j] >> shift)`` is sequential in i
+(reference flac/decoder.py:493-498) but embarrassingly parallel across
+subframes: a single ``lax.scan`` over the sample axis advances every
+``[batch, channel]`` lane at once, carrying the order-32 state window.
+Throughput comes from the batch axis, exactly as SURVEY.md §7 prescribes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from flacx.format import Channels
+
+
+def reconstruct_predicted(residual: jnp.ndarray, taps: jnp.ndarray,
+                          shift: jnp.ndarray,
+                          order: jnp.ndarray) -> jnp.ndarray:
+    """Rebuild samples from residuals for fixed/LPC subframes.
+
+    Args:
+      residual: ``[..., n]`` int64 — warmup samples occupy positions
+        ``i < order`` (verbatim-style), residuals the rest.
+      taps: ``[..., T]`` int32 predictor taps (zero beyond order).
+      shift: ``[...]`` int32.
+      order: ``[...]`` int32.
+    Returns:
+      ``[..., n]`` int64 reconstructed samples.
+    """
+    t = taps.shape[-1]
+    n = residual.shape[-1]
+    lead = residual.shape[:-1]
+    taps64 = taps.astype(jnp.int64)
+    shift64 = shift.astype(jnp.int64)
+
+    # state: window of the last T samples, window[..., -1] = x[i-1]
+    win0 = jnp.zeros((*lead, t), jnp.int64)
+
+    def step(win, i):
+        acc = jnp.sum(win * taps64[..., ::-1], axis=-1)
+        pred = jnp.right_shift(acc, shift64)
+        x = residual[..., i] + jnp.where(i >= order, pred, 0)
+        win = jnp.concatenate([win[..., 1:], x[..., None]], axis=-1)
+        return win, x
+
+    _, xs = jax.lax.scan(step, win0, jnp.arange(n))
+    return jnp.moveaxis(xs, 0, -1)
+
+
+def undo_decorrelation(ch0: jnp.ndarray, ch1: jnp.ndarray,
+                       mode: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Invert stereo decorrelation per frame.
+
+    Args:
+      ch0/ch1: ``[B, n]`` int64 decoded subframe samples.
+      mode: ``[B]`` int32 channel codes (Channels values).
+    Returns:
+      ``(left, right)`` int64.
+    """
+    m = mode[..., None]
+    l_s = m == int(Channels.L_S)
+    s_r = m == int(Channels.S_R)
+    m_s = m == int(Channels.M_S)
+
+    left = jnp.where(l_s, ch0,
+                     jnp.where(s_r, ch0 + ch1, ch0))
+    right = jnp.where(l_s, ch0 - ch1,
+                      jnp.where(s_r, ch1, ch1))
+    ms_right = ch0 - (ch1 >> 1)
+    left = jnp.where(m_s, ms_right + ch1, left)
+    right = jnp.where(m_s, ms_right, right)
+    return left, right

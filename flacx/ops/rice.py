@@ -25,6 +25,15 @@ import jax.numpy as jnp
 FALLBACK_BIAS = 1 << 40
 INVALID = jnp.int64(1 << 50)
 
+#: Hard cap on any single Rice unary quotient, in bits.  The merge-tree bit
+#: packer (flacx.ops.bitpack) requires every symbol to fit one 32-bit word,
+#: so the parameter search only admits k with ``max(zz) >> k <= QMAX``.
+#: This stays exact and spec-conformant — it only restricts which k are
+#: eligible; a partition with no eligible k at any order makes the whole
+#: plan infinite, and the encoder's exact-size selection then falls back to
+#: a verbatim subframe (which needs no Rice coding at all).
+QMAX = 31
+
 
 class RicePlan(NamedTuple):
     bits: jnp.ndarray        # [...]   exact residual section size in bits
@@ -56,17 +65,20 @@ def estimate_bits(zz_sum: jnp.ndarray, count: jnp.ndarray,
 
 
 def partition_sums(zz: jnp.ndarray, max_porder: int,
-                   kmax: int) -> jnp.ndarray:
-    """``S[..., p, k] = Σ_{i in partition p} (zz_i >> k)`` at the finest level.
+                   kmax: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Finest-level partition statistics.
 
-    ``n`` must be divisible by ``2**max_porder``.
+    Returns ``(S, M)`` where ``S[..., p, k] = Σ_{i in p} (zz_i >> k)`` and
+    ``M[..., p] = max_{i in p} zz_i``.  ``n`` must be divisible by
+    ``2**max_porder``.
     """
     n = zz.shape[-1]
     nparts = 1 << max_porder
     psize = n >> max_porder
     zzr = zz.reshape(*zz.shape[:-1], nparts, psize)
-    cols = [jnp.sum(zzr >> k, axis=-1) for k in range(kmax + 1)]
-    return jnp.stack(cols, axis=-1)  # [..., nparts, kmax+1]
+    sums = jnp.stack([jnp.sum(zzr >> k, axis=-1) for k in range(kmax + 1)],
+                     axis=-1)
+    return sums, jnp.max(zzr, axis=-1)  # [..., nparts, kmax+1], [..., nparts]
 
 
 def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
@@ -90,11 +102,14 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     max_po = max(porders)
     ks = jnp.arange(kmax + 1, dtype=jnp.int64)
 
-    # Finest-level sums, then halve up the tree.
-    s_by_po = {max_po: partition_sums(zz, max_po, kmax)}
+    # Finest-level sums and maxima, then halve up the tree.
+    s_fine, m_fine = partition_sums(zz, max_po, kmax)
+    s_by_po, m_by_po = {max_po: s_fine}, {max_po: m_fine}
     for po in range(max_po, 0, -1):
         s = s_by_po[po]
         s_by_po[po - 1] = s[..., 0::2, :] + s[..., 1::2, :]
+        m = m_by_po[po]
+        m_by_po[po - 1] = jnp.maximum(m[..., 0::2], m[..., 1::2])
 
     best_bits = jnp.full(lead, INVALID)
     best_po = jnp.zeros(lead, jnp.int32)
@@ -110,6 +125,9 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
         is_p0 = (jnp.arange(nparts) == 0)
         cnt = psize - order[..., None] * is_p0  # [..., nparts]
         bits_pk = s + (ks + 1) * cnt[..., None].astype(jnp.int64)
+        # zero-run cap: only k with max quotient <= QMAX are eligible
+        q_ok = (m_by_po[po][..., None] >> ks) <= QMAX
+        bits_pk = jnp.where(q_ok, bits_pk, INVALID)
 
         min4 = jnp.min(bits_pk[..., :n_k4], axis=-1)
         arg4 = jnp.argmin(bits_pk[..., :n_k4], axis=-1).astype(jnp.int32)
@@ -139,17 +157,19 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
                                       FALLBACK_BIAS, 0)
 
     # Per-sample parameter + partition-start mask for the chosen order.
+    # Partitions are position-aligned (partition p covers samples
+    # [p·psize, (p+1)·psize)), so per-sample expansion is a pure
+    # broadcast-reshape — no gathers.
     i = jnp.arange(n, dtype=jnp.int32)
     k_sample = jnp.zeros((*lead, n), jnp.int32)
     param_start = jnp.zeros((*lead, n), bool)
     for po in porders:
+        nparts = 1 << po
         psize = n >> po
-        pidx = i // psize  # [n]
         args = jnp.where((best_width == 4)[..., None],
-                         k4_levels[po], k5_levels[po])
-        k_here = jnp.take_along_axis(
-            args, jnp.broadcast_to(pidx, (*lead, n)).astype(jnp.int32),
-            axis=-1)
+                         k4_levels[po], k5_levels[po])  # [..., nparts]
+        k_here = jnp.broadcast_to(args[..., None],
+                                  (*lead, nparts, psize)).reshape(*lead, n)
         starts = ((i % psize == 0) & (i > 0)) | (i == order[..., None])
         here = (best_po == po)[..., None]
         k_sample = jnp.where(here, k_here, k_sample)

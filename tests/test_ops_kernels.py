@@ -102,6 +102,7 @@ def test_zigzag_matches(rng):
 
 
 def _brute_force_rice(zz, order, porders, preferred, kmax, n):
+    from flacx.ops.rice import QMAX
     best = None
     for po in porders:
         nparts = 1 << po
@@ -118,8 +119,14 @@ def _brute_force_rice(zz, order, porders, preferred, kmax, n):
                 part = zz[lo: (p + 1) * psize]
                 cnt = psize - (order if p == 0 else 0)
                 sizes = [sum(int(u) >> k for u in part) + (k + 1) * cnt
-                         for k in range(klim + 1)]
+                         for k in range(klim + 1)
+                         if (max(part) >> k) <= QMAX]
+                if not sizes:
+                    total = None
+                    break
                 total += width + min(sizes)
+            if total is None:
+                continue
             cand = (total + bias, po, width)
             if best is None or cand < best:
                 best = cand
@@ -154,25 +161,34 @@ def test_exact_rice_plan_vs_bruteforce(rng):
         assert list(np.nonzero(starts)[0]) == want_starts
 
 
-def test_pack_symbols_vs_bitwriter(rng):
-    b, s = 4, 200
-    lengths = rng.integers(0, 20, size=(b, s)).astype(np.int32)
+def _symbol_case(rng, b, s, max_len=32):
+    lengths = rng.integers(0, max_len + 1, size=(b, s)).astype(np.int32)
     lengths[:, ::7] = 0
-    lengths[0, 3] = 55  # long zero-run symbol
+    lengths[0, 3] = 31  # max-length zero run
     values = np.zeros((b, s), np.uint32)
     for bi in range(b):
         for si in range(s):
             l = int(lengths[bi, si])
-            if 0 < l <= 32:
-                values[bi, si] = int(rng.integers(0, 1 << min(l, 31)))
+            if l:
+                values[bi, si] = int(
+                    rng.integers(0, 1 << min(l, 31))) | ((l == 32) << 31)
     # pad rows to byte alignment with a final symbol
     pad = (-lengths.sum(axis=1)) % 8
     lengths = np.concatenate([lengths, pad[:, None]], axis=1)
     values = np.concatenate([values, np.zeros((b, 1), np.uint32)], axis=1)
+    return values, lengths
 
-    max_bytes = 256
-    got_bytes, got_bits = pack_symbols(jnp.asarray(values),
-                                       jnp.asarray(lengths), max_bytes)
+
+@pytest.mark.parametrize("impl", ["tree", "scatter", "per_bit"])
+def test_pack_symbols_vs_bitwriter(rng, impl):
+    from flacx.ops.bitpack import pack_symbols_per_bit, pack_symbols_scatter
+    fn = {"tree": pack_symbols, "scatter": pack_symbols_scatter,
+          "per_bit": pack_symbols_per_bit}[impl]
+    b, s = 4, 200
+    values, lengths = _symbol_case(rng, b, s)
+    max_bytes = 1024
+    got_bytes, got_bits = fn(jnp.asarray(values), jnp.asarray(lengths),
+                             max_bytes)
     got_bytes, got_bits = np.asarray(got_bytes), np.asarray(got_bits)
     for bi in range(b):
         w = BitWriter()
@@ -185,10 +201,29 @@ def test_pack_symbols_vs_bitwriter(rng):
         assert not got_bytes[bi, len(want):].any()
 
 
+def test_pack_symbols_long_zero_runs_scatter(rng):
+    # the scatter variant also supports >32-bit zero-run symbols
+    from flacx.ops.bitpack import pack_symbols_scatter
+    lengths = np.array([[8, 55, 3, 0, 6]], np.int32)
+    values = np.array([[0xAB, 0, 5, 0, 0x2A]], np.uint32)
+    got, bits = pack_symbols_scatter(jnp.asarray(values),
+                                     jnp.asarray(lengths), 64)
+    w = BitWriter()
+    for v, l in zip(values[0], lengths[0]):
+        w.write_uint(int(v), int(l))
+    want = w.getvalue()
+    assert int(bits[0]) == 72
+    np.testing.assert_array_equal(np.asarray(got)[0, :9],
+                                  np.frombuffer(want, np.uint8))
+
+
 def test_crc_fold_matches_host(rng):
     b, l = 8, 96
     data = rng.integers(0, 256, size=(b, l)).astype(np.uint8)
     lengths = rng.integers(1, l + 1, size=b).astype(np.int32)
+    # contract of crc16_over_rows: bytes past each row's length are zero
+    # (the bit packer guarantees this)
+    data[np.arange(l) >= lengths[:, None]] = 0
     got16 = np.asarray(crc16_over_rows(jnp.asarray(data),
                                        jnp.asarray(lengths)))
     pos = np.arange(l)
