@@ -67,8 +67,15 @@ class EncoderConfig:
     qlp_precision: int = 5
     partition_orders: tuple[int, ...] = (0, 1, 2, 3, 4, 5)
     stereo: str = "auto"          # "auto" | "independent"
+    #: "estimate" ranks LPC orders by the Levinson prediction error (the
+    #: shortcut libFLAC's fast presets use) and computes exact residuals
+    #: only for the winner; "exact" evaluates every order's true integer
+    #: residual (best compression, ~reference-like selection).
+    order_search: str = "estimate"
 
     def __post_init__(self):
+        if self.order_search not in ("estimate", "exact"):
+            raise ValueError("order_search must be 'estimate' or 'exact'")
         if not 1 <= self.channels <= 8:
             raise ValueError("channels must be in 1..8")
         if not 0 <= self.max_lpc_order <= 32:
@@ -105,6 +112,18 @@ class EncoderConfig:
     @property
     def preferred_porders(self) -> tuple[int, ...]:
         return tuple(o for o in self.porders if o in self.partition_orders)
+
+    @property
+    def work_dtype(self):
+        """Residual/zigzag working dtype.
+
+        int32 halves HBM traffic and is exact whenever every zigzag
+        magnitude fits 31 bits: fixed residuals are bounded by
+        2^(bps+1+4) and LPC residuals are overflow-checked at selection
+        time (pathological subframes fall back to verbatim).
+        """
+        import jax.numpy as _jnp
+        return _jnp.int32 if self.bps <= 24 else _jnp.int64
 
     @property
     def max_frame_bytes(self) -> int:
@@ -146,54 +165,108 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         bps_v = jnp.full((cfg.channels,), cfg.bps, jnp.int32)
     nv = x_v.shape[1]
 
-    # ----- candidate residuals (fixed orders 0..4, LPC orders 1..P) -------
-    fres = fixed_residuals(x_v.astype(jnp.int64))               # [B,V,5,N]
-    if p:
-        w = jnp.asarray(tukey_window_np(n))
-        xw = x_v.astype(jnp.float64) * w
-        autoc = autocorrelate(xw, p)
-        taps_f, valid_ld = levinson_all_orders(autoc, p)
-        qcoefs, qshifts, valid_q = quantize_all_orders(taps_f, prec)
-        lres = lpc_residuals_all(x_v, qcoefs, qshifts)          # [B,V,P,N]
-        lpc_valid = valid_ld & valid_q                          # [B,V,P]
-        all_res = jnp.concatenate([fres, lres], axis=2)         # [B,V,5+P,N]
-    else:
-        qcoefs = jnp.zeros((b, nv, 1, 1), jnp.int32)
-        qshifts = jnp.zeros((b, nv, 1), jnp.int32)
-        all_res = fres
-
+    # ----- candidate analysis (fixed orders 0..4, LPC orders 1..P) --------
     cand_orders = jnp.array(list(range(5)) + list(range(1, p + 1)),
                             jnp.int32)                           # [5+P]
     i_pos = jnp.arange(n, dtype=jnp.int32)
-    cand_mask = i_pos >= cand_orders[:, None]                    # [5+P, N]
-    zz_all = rice.zigzag(all_res) * cand_mask
-    zz_sum = jnp.sum(zz_all, axis=-1)                            # [B,V,5+P]
-    counts = (n - cand_orders).astype(jnp.int64)
+    wdt = cfg.work_dtype
+    fres = fixed_residuals(x_v.astype(wdt))                     # [B,V,5,N]
 
-    est = rice.estimate_bits(zz_sum, counts, cfg.kmax)           # [B,V,5+P]
-    over_warm = cand_orders.astype(jnp.int64) * bps_v[:, None].astype(jnp.int64)
-    est = est + 8 + over_warm
     if p:
-        is_lpc_cand = jnp.arange(5 + p) >= 5
-        est = est + jnp.where(is_lpc_cand,
-                              9 + cand_orders.astype(jnp.int64) * prec, 0)
-        est = jnp.where(jnp.concatenate(
-            [jnp.ones((b, nv, 5), bool), lpc_valid], axis=-1), est, _INF)
+        # f32 windowed signal with f64 accumulation: halves analysis
+        # traffic; the Levinson recursion itself stays f64
+        w32 = jnp.asarray(tukey_window_np(n).astype(np.float32))
+        xw = x_v.astype(jnp.float32) * w32
+        autoc = autocorrelate(xw, p)
+        taps_f, lpc_err, valid_ld = levinson_all_orders(autoc, p)
+        qcoefs, qshifts, valid_q = quantize_all_orders(taps_f, prec)
+        lpc_valid = valid_ld & valid_q                          # [B,V,P]
+    else:
+        qcoefs = jnp.zeros((b, nv, 1, 1), jnp.int32)
+        qshifts = jnp.zeros((b, nv, 1), jnp.int32)
+
+    bps_v64 = bps_v.astype(jnp.int64)
+    over_warm = cand_orders.astype(jnp.int64) * bps_v64[:, None]
+
+    # candidate size estimates: fixed orders from exact magnitude sums,
+    # LPC orders either the same (order_search="exact") or mapped from the
+    # Levinson error power via E|r| ≈ sqrt(2/π)·σ (order_search="estimate")
+    fmask = i_pos >= cand_orders[:5, None]
+    fzz_sum = jnp.sum(rice.zigzag(fres) * fmask, axis=-1)        # [B,V,5]
+    fcounts = (n - cand_orders[:5]).astype(jnp.int64)
+    fest = (rice.estimate_bits(fzz_sum, fcounts, cfg.kmax)
+            + 8 + over_warm[..., :5])
+
+    if p and cfg.order_search == "exact":
+        lres = lpc_residuals_all(x_v, qcoefs, qshifts)          # [B,V,P,N]
+        lmask = i_pos >= cand_orders[5:, None]
+        lzz_sum = jnp.sum(rice.zigzag(lres) * lmask, axis=-1)
+        lcounts = (n - cand_orders[5:]).astype(jnp.int64)
+        lest = rice.estimate_bits(lzz_sum, lcounts, cfg.kmax)
+    elif p:
+        lcounts = (n - cand_orders[5:]).astype(jnp.int64)
+        # the error power is in the windowed domain; undo the window's
+        # average power so fixed (unwindowed) and LPC estimates compare
+        win_pow = float(np.mean(tukey_window_np(n) ** 2))
+        sigma = jnp.sqrt(jnp.maximum(lpc_err, 0.0) / (n * win_pow))
+        mean_abs = jnp.sqrt(2.0 / jnp.pi) * sigma
+        lzz_sum = (2.0 * mean_abs * lcounts).astype(jnp.int64)
+        lest = rice.estimate_bits(lzz_sum, lcounts, cfg.kmax)
+    if p:
+        lest = (lest + 8 + over_warm[..., 5:]
+                + 9 + cand_orders[5:].astype(jnp.int64) * prec)
+        lest = jnp.where(lpc_valid, lest, _INF)
+        est = jnp.concatenate([fest, lest], axis=-1)
+    else:
+        est = fest
 
     if _stop_after == "analysis":
         return {"est": est}
     fixed_bits = jnp.min(est[..., :5], axis=-1)
     fixed_order = jnp.argmin(est[..., :5], axis=-1).astype(jnp.int32)
+    fixed_res = jnp.take_along_axis(
+        fres, fixed_order[..., None, None].astype(jnp.int32), axis=2)[:, :, 0]
     if p:
-        lpc_bits = jnp.min(est[..., 5:], axis=-1)
         lpc_order = (jnp.argmin(est[..., 5:], axis=-1) + 1).astype(jnp.int32)
+        lo_idx = (lpc_order - 1)[..., None, None].astype(jnp.int32)
+        taps_lpc_v = jnp.take_along_axis(qcoefs, lo_idx, axis=2)[:, :, 0]
+        shift_lpc_v = jnp.take_along_axis(
+            qshifts, (lpc_order - 1).astype(jnp.int32)[..., None],
+            axis=2)[..., 0]
+        if cfg.order_search == "exact":
+            lpc_res = jnp.take_along_axis(lres, lo_idx, axis=2)[:, :, 0]
+        else:
+            lpc_res = predict_residual(x_v, taps_lpc_v, shift_lpc_v)
+        # cross-family comparison always on EXACT magnitude sums (the
+        # Levinson error is optimistic about post-quantization residuals)
+        lmask_best = i_pos >= lpc_order[..., None]
+        lpc_res = lpc_res * lmask_best        # zero the warmup junk
+        lzz_exact = jnp.sum(rice.zigzag(lpc_res), axis=-1)
+        lpc_bits = (rice.estimate_bits(
+            lzz_exact, (n - lpc_order).astype(jnp.int64), cfg.kmax)
+            + 8 + lpc_order.astype(jnp.int64) * bps_v64
+            + 9 + lpc_order.astype(jnp.int64) * prec)
+        lpc_ok = jnp.take_along_axis(
+            lpc_valid, (lpc_order - 1).astype(jnp.int32)[..., None],
+            axis=-1)[..., 0]
+        if wdt == jnp.int32:
+            # residuals that cannot survive the int32 working dtype make
+            # the LPC candidate ineligible (verbatim/fixed win instead)
+            lpc_ok = lpc_ok & (jnp.max(jnp.abs(lpc_res), axis=-1)
+                               < (1 << 30))
+        lpc_bits = jnp.where(lpc_ok, lpc_bits, _INF)
+        lpc_res = lpc_res.astype(wdt)
         pred_is_lpc = lpc_bits < fixed_bits
     else:
         lpc_bits = jnp.full_like(fixed_bits, _INF)
         lpc_order = jnp.ones_like(fixed_order)
+        lpc_res = fixed_res
+        taps_lpc_v = jnp.zeros((b, nv, 1), jnp.int32)
+        shift_lpc_v = jnp.zeros((b, nv), jnp.int32)
         pred_is_lpc = jnp.zeros_like(fixed_bits, bool)
     pred_bits = jnp.minimum(fixed_bits, lpc_bits)
     pred_order = jnp.where(pred_is_lpc, lpc_order, fixed_order)
+    pred_res_v = jnp.where(pred_is_lpc[..., None], lpc_res, fixed_res)
 
     const_ok = jnp.all(x_v == x_v[..., :1], axis=-1)             # [B,V]
     bps_bv = jnp.broadcast_to(bps_v, (b, nv)).astype(jnp.int64)
@@ -228,30 +301,25 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     order = gather_v(pred_order)
     const_sel = gather_v(const_ok)
     f_order = gather_v(fixed_order)
-    l_order = gather_v(lpc_order)
+    res = gather_v(pred_res_v)                                   # [B,C,N] i64
 
     # chosen taps & shift
     taps_fix = jnp.asarray(FIXED_PREDICTOR_TAPS)[f_order]        # [B,C,4]
     taps_fix = jnp.pad(taps_fix, ((0, 0), (0, 0), (0, t - 4)))
     if p:
-        qc_sel = gather_v(qcoefs)                                # [B,C,P,P]
-        qs_sel = gather_v(qshifts)                               # [B,C,P]
-        lo_idx = (l_order - 1)[..., None, None].astype(jnp.int32)
-        taps_lpc = jnp.take_along_axis(qc_sel, lo_idx, axis=2)[:, :, 0]
+        taps_lpc = gather_v(taps_lpc_v)                          # [B,C,P]
         if t > p:
             taps_lpc = jnp.pad(taps_lpc, ((0, 0), (0, 0), (0, t - p)))
-        shift_lpc = jnp.take_along_axis(
-            qs_sel, (l_order - 1).astype(jnp.int32)[..., None], axis=2)[..., 0]
+        shift_lpc = gather_v(shift_lpc_v)
         taps = jnp.where(is_lpc[..., None], taps_lpc, taps_fix)
         shift = jnp.where(is_lpc, shift_lpc, 0).astype(jnp.int32)
     else:
         taps = taps_fix
         shift = jnp.zeros((b, c), jnp.int32)
 
-    # ----- exact residual + exhaustive Rice plan --------------------------
+    # ----- exhaustive Rice plan on the chosen exact residual ---------------
     if _stop_after == "select":
         return {"taps": taps, "shift": shift, "order": order}
-    res = predict_residual(x_sel, taps, shift)                   # [B,C,N] i64
     in_resid = i_pos >= order[..., None]
     zz = rice.zigzag(res) * in_resid
     if _stop_after == "residual":
@@ -278,7 +346,8 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     hdr = frame_header_symbols(
         first_index + jnp.arange(b, dtype=jnp.int64), ch_code, n)
     sv, sl = emit.subframe_symbols(kind, order, bps_c, x_sel, taps, shift,
-                                   prec, zz, plan)
+                                   prec, zz, plan,
+                                   psize_min=n >> max(cfg.porders))
     sv = sv.reshape(b, -1)
     sl = sl.reshape(b, -1)
 

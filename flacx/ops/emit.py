@@ -5,13 +5,19 @@ slots carry zero length and vanish in the bit packer.  This keeps shapes
 static under jit while encoding the fully dynamic FLAC grammar:
 
   [header(1) | warmup(T) | lpc-meta(1) | coefs(T) | res-meta(1) |
-   N × (param?, zero-run, payload)]
+   sparse param slots interleaved with N sample slots]
 
-A Rice-coded residual sample needs at most two symbols: an arbitrary-length
-zero run (the unary quotient) and a ``1``-terminated payload
-``(1 << k) | remainder`` of ``k+1 ≤ 31`` bits — the whole quotient+stop-bit+
-remainder pattern of the reference's ``put_rice_int``
-(flac/encoder.py:798-807) collapses into them.
+A Rice-coded residual sample is ONE symbol: value ``(1 << k) | remainder``
+emitted with length ``q + 1 + k`` — its leading zeros ARE the unary
+quotient, so the whole quotient+stop-bit+remainder pattern of the
+reference's ``put_rice_int`` (flac/encoder.py:798-807) collapses into a
+single ≤32-bit word (the Rice planner guarantees the cap,
+``flacx.ops.rice.CODE_BITS_MAX``).
+
+Partition parameter slots live at STATIC stream positions: a partition can
+only start at sample ``order`` (≤ 32) or at a multiple of the finest legal
+partition size, so a param slot precedes samples 0..32 and every multiple
+of ``psize_min`` — everything else is grammar-free.
 """
 
 from __future__ import annotations
@@ -23,14 +29,17 @@ from flacx.ops.rice import RicePlan
 KIND_CONSTANT, KIND_VERBATIM, KIND_FIXED, KIND_LPC = 0, 1, 2, 3
 
 
-def subframe_slot_count(max_taps: int, n: int) -> int:
-    return 1 + max_taps + 1 + max_taps + 1 + 3 * n
+def param_slot_positions(n: int, psize_min: int) -> list[int]:
+    """Sample indices that may be preceded by a partition-parameter field."""
+    pos = set(range(0, min(33, n)))
+    pos.update(range(0, n, psize_min))
+    return sorted(pos)
 
 
 def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
                      x: jnp.ndarray, taps: jnp.ndarray, shift: jnp.ndarray,
                      precision: int, zz: jnp.ndarray, plan: RicePlan,
-                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                     psize_min: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Emit symbols for a batch of subframes.
 
     Args:
@@ -42,12 +51,14 @@ def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
       shift: ``[B, C]`` LPC shift.
       zz: ``[B, C, N]`` zigzag residual magnitudes (0 at ``i < order``).
       plan: exact Rice plan for these residuals.
+      psize_min: finest legal partition size (static).
     Returns:
       ``(values u32, lengths i32)`` of shape ``[B, C, slots]``.
     """
     b, c, n = x.shape
     t = taps.shape[-1]
-    x64 = x.astype(jnp.int64)
+    # warmup slots are tiny — keep them in exact i64
+    x64 = x[..., :t].astype(jnp.int64)
     bps_mask = ((jnp.int64(1) << bps.astype(jnp.int64)) - 1)[..., None]
 
     is_pred = kind >= KIND_FIXED
@@ -65,7 +76,7 @@ def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
     ti = jnp.arange(t, dtype=jnp.int32)
     warm_active = is_pred[..., None] & (ti < order[..., None])
     const_active = (kind == KIND_CONSTANT)[..., None] & (ti == 0)
-    warm_v = (x64[..., :t] & bps_mask).astype(jnp.uint32)
+    warm_v = (x64 & bps_mask).astype(jnp.uint32)
     warm_l = jnp.where(warm_active | const_active, bps[..., None], 0
                        ).astype(jnp.int32)
 
@@ -82,32 +93,63 @@ def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
     rmeta_v = ((method << 4) | plan.porder.astype(jnp.uint32))[..., None]
     rmeta_l = jnp.where(is_pred, 6, 0)[..., None].astype(jnp.int32)
 
-    # --- per-sample triples
+    # --- per-sample symbols (one per sample) -------------------------------
     i = jnp.arange(n, dtype=jnp.int32)
     in_resid = is_pred[..., None] & (i >= order[..., None])
-    k = plan.k_sample.astype(jnp.int64)
+    k = plan.k_sample.astype(zz.dtype)
+    one = jnp.ones((), zz.dtype)
 
-    param_v = plan.k_sample.astype(jnp.uint32)
-    param_l = jnp.where(is_pred[..., None] & plan.param_start,
+    samp_rice_v = ((one << k) | (zz & ((one << k) - 1))).astype(jnp.uint32)
+    samp_rice_l = (zz >> k).astype(jnp.int32) + 1 + plan.k_sample
+    samp_verb_v = (x.astype(jnp.int64) & bps_mask).astype(jnp.uint32) \
+        if jnp.iinfo(x.dtype).bits < 32 else (
+            x.astype(jnp.uint32)
+            & bps_mask.astype(jnp.int64).astype(jnp.uint32))
+    is_verb = (kind == KIND_VERBATIM)[..., None]
+    samp_v = jnp.where(is_verb, samp_verb_v, samp_rice_v)
+    samp_l = jnp.where(is_verb, bps[..., None],
+                       jnp.where(in_resid, samp_rice_l, 0)).astype(jnp.int32)
+
+    # --- sparse partition-parameter slots at static positions --------------
+    ppos = param_slot_positions(n, psize_min)
+    pidx = jnp.asarray(ppos, jnp.int32)
+    param_v = plan.k_sample[..., pidx].astype(jnp.uint32)
+    param_l = jnp.where(is_pred[..., None] & plan.param_start[..., pidx],
                         plan.width[..., None], 0).astype(jnp.int32)
 
-    zeros_v = jnp.zeros((b, c, n), jnp.uint32)
-    zeros_l = jnp.where(in_resid, (zz >> k).astype(jnp.int32), 0)
-
-    pay_rice_v = ((jnp.int64(1) << k) | (zz & ((jnp.int64(1) << k) - 1))
-                  ).astype(jnp.uint32)
-    pay_verb = (x64 & bps_mask).astype(jnp.uint32)
-    is_verb = (kind == KIND_VERBATIM)[..., None]
-    pay_v = jnp.where(is_verb, pay_verb, pay_rice_v)
-    pay_l = jnp.where(is_verb, bps[..., None],
-                      jnp.where(in_resid, (k + 1).astype(jnp.int32), 0)
-                      ).astype(jnp.int32)
-
-    trip_v = jnp.stack([param_v, zeros_v, pay_v], axis=-1).reshape(b, c, 3 * n)
-    trip_l = jnp.stack([param_l, zeros_l, pay_l], axis=-1).reshape(b, c, 3 * n)
+    def interleave(pv, sv):
+        """Place param slot j immediately before sample ppos[j]."""
+        if psize_min >= 33 and n % psize_min == 0 and n > psize_min:
+            # fast path: positions are exactly {0..32} ∪ {multiples of
+            # psize_min}; three vectorized regions instead of ~100 slices
+            head = jnp.stack([pv[..., :33], sv[..., :33]],
+                             axis=-1).reshape(b, c, 66)
+            mid = sv[..., 33:psize_min]
+            nseg = n // psize_min
+            rest_s = sv[..., psize_min:].reshape(b, c, nseg - 1, psize_min)
+            rest_p = pv[..., 33:, None]
+            rest = jnp.concatenate([rest_p, rest_s], axis=-1
+                                   ).reshape(b, c, (nseg - 1) * (psize_min + 1))
+            return [head, mid, rest]
+        out = []
+        cursor = 0
+        for j, pos in enumerate(ppos):
+            if pos > cursor:
+                out.append(sv[..., cursor:pos])
+                cursor = pos
+            out.append(pv[..., j:j + 1])
+        if cursor < n:
+            out.append(sv[..., cursor:])
+        return out
 
     values = jnp.concatenate(
-        [hdr_v, warm_v, meta_v, coef_v, rmeta_v, trip_v], axis=-1)
+        [hdr_v, warm_v, meta_v, coef_v, rmeta_v,
+         *interleave(param_v, samp_v)], axis=-1)
     lengths = jnp.concatenate(
-        [hdr_l, warm_l, meta_l, coef_l, rmeta_l, trip_l], axis=-1)
+        [hdr_l, warm_l, meta_l, coef_l, rmeta_l,
+         *interleave(param_l, samp_l)], axis=-1)
     return values, lengths
+
+
+def subframe_slot_count(max_taps: int, n: int, psize_min: int) -> int:
+    return 3 + 2 * max_taps + n + len(param_slot_positions(n, psize_min))

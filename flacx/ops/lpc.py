@@ -36,26 +36,31 @@ def autocorrelate(w: jnp.ndarray, max_lag: int) -> jnp.ndarray:
 
     Keeps the reference's summation range (drops the last product,
     flac/encoder.py:443-450) so coefficient choices track the oracle.
-    Returns ``[..., max_lag+1]`` f64.
+    Products use the input dtype (f32 is fine); accumulation is always
+    f64 — the Levinson recursion amplifies accumulation error but not
+    per-product rounding.  Returns ``[..., max_lag+1]`` f64.
     """
     n = w.shape[-1]
-    cols = [jnp.sum(w[..., : n - lag - 1] * w[..., lag: n - 1], axis=-1)
+    cols = [jnp.sum(w[..., : n - lag - 1] * w[..., lag: n - 1], axis=-1,
+                    dtype=jnp.float64)
             for lag in range(max_lag + 1)]
     return jnp.stack(cols, axis=-1)
 
 
-def levinson_all_orders(autoc: jnp.ndarray,
-                        max_order: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+def levinson_all_orders(autoc: jnp.ndarray, max_order: int,
+                        ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Levinson-Durbin for every order ``1..max_order`` in one scan.
 
     Args:
       autoc: ``[..., max_order+1]`` f64 autocorrelation values.
     Returns:
-      ``(taps, valid)`` — taps ``[..., max_order, max_order]`` f64 (row
-      ``o-1`` holds the order-``o`` predictor, zero-padded) and a validity
-      mask ``[..., max_order]`` (False once the recursion degenerates, e.g.
-      digital silence where the reference raises ZeroDivisionError,
-      flac/encoder.py:469 / SURVEY.md §2.3.2).
+      ``(taps, errors, valid)`` — taps ``[..., max_order, max_order]`` f64
+      (row ``o-1`` holds the order-``o`` predictor, zero-padded), the
+      per-order prediction error power (used by the estimate-mode order
+      search, the same shortcut libFLAC's fast presets use), and a
+      validity mask ``[..., max_order]`` (False once the recursion
+      degenerates, e.g. digital silence where the reference raises
+      ZeroDivisionError, flac/encoder.py:469 / SURVEY.md §2.3.2).
     """
     p = max_order
     lead = autoc.shape[:-1]
@@ -76,16 +81,17 @@ def levinson_all_orders(autoc: jnp.ndarray,
         upd_mask = (pos <= k + 1).astype(a.dtype)
         a = a + lam[..., None] * arev * upd_mask
         err = err * (1.0 - lam * lam)
-        return (a, err, ok), (a, ok)
+        return (a, err, ok), (a, err, ok)
 
-    (_, _, _), (a_hist, ok_hist) = jax.lax.scan(
+    (_, _, _), (a_hist, err_hist, ok_hist) = jax.lax.scan(
         step, (a0, err0, ok0), jnp.arange(p), unroll=True)
 
     # a_hist: [p, *lead, p+1] -> [*lead, p, p]
     taps = jnp.moveaxis(a_hist, 0, -2)[..., 1:]
+    errors = jnp.moveaxis(err_hist, 0, -1)
     valid = jnp.moveaxis(ok_hist, 0, -1)
     valid = valid & jnp.all(jnp.isfinite(taps), axis=-1)
-    return taps, valid
+    return taps, errors, valid
 
 
 def quantize_all_orders(taps: jnp.ndarray, precision: int,

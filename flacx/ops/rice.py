@@ -25,14 +25,17 @@ import jax.numpy as jnp
 FALLBACK_BIAS = 1 << 40
 INVALID = jnp.int64(1 << 50)
 
-#: Hard cap on any single Rice unary quotient, in bits.  The merge-tree bit
-#: packer (flacx.ops.bitpack) requires every symbol to fit one 32-bit word,
-#: so the parameter search only admits k with ``max(zz) >> k <= QMAX``.
-#: This stays exact and spec-conformant — it only restricts which k are
-#: eligible; a partition with no eligible k at any order makes the whole
-#: plan infinite, and the encoder's exact-size selection then falls back to
-#: a verbatim subframe (which needs no Rice coding at all).
-QMAX = 31
+#: Hard cap on a complete Rice code (unary quotient + stop bit + remainder)
+#: in bits.  The merge-tree bit packer (flacx.ops.bitpack) requires every
+#: symbol to fit one 32-bit word, and emitting each residual sample as ONE
+#: symbol (value ``(1<<k)|remainder``, length ``q+1+k``) halves the symbol
+#: stream, so the parameter search only admits k with
+#: ``(max(zz) >> k) + 1 + k <= CODE_BITS_MAX``.  This stays exact and
+#: spec-conformant — it only restricts which k are eligible; a partition
+#: with no eligible k at any order makes the whole plan infinite, and the
+#: encoder's exact-size selection then falls back to a verbatim subframe
+#: (which needs no Rice coding at all).
+CODE_BITS_MAX = 32
 
 
 class RicePlan(NamedTuple):
@@ -44,9 +47,13 @@ class RicePlan(NamedTuple):
 
 
 def zigzag(r: jnp.ndarray) -> jnp.ndarray:
-    """Signed int64 -> non-negative folded int64 (flac/utils.py:91-94)."""
-    r = r.astype(jnp.int64)
-    return (r << 1) ^ (r >> 63)
+    """Signed int -> non-negative folded int, dtype-preserving.
+
+    (flac/utils.py:91-94; callers must ensure values fit with one spare
+    bit — int32 inputs need |r| < 2^30.)
+    """
+    width = jnp.iinfo(r.dtype).bits - 1
+    return (r << 1) ^ (r >> width)
 
 
 def estimate_bits(zz_sum: jnp.ndarray, count: jnp.ndarray,
@@ -76,8 +83,8 @@ def partition_sums(zz: jnp.ndarray, max_porder: int,
     nparts = 1 << max_porder
     psize = n >> max_porder
     zzr = zz.reshape(*zz.shape[:-1], nparts, psize)
-    sums = jnp.stack([jnp.sum(zzr >> k, axis=-1) for k in range(kmax + 1)],
-                     axis=-1)
+    sums = jnp.stack([jnp.sum(zzr >> k, axis=-1, dtype=jnp.int64)
+                      for k in range(kmax + 1)], axis=-1)
     return sums, jnp.max(zzr, axis=-1)  # [..., nparts, kmax+1], [..., nparts]
 
 
@@ -125,8 +132,8 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
         is_p0 = (jnp.arange(nparts) == 0)
         cnt = psize - order[..., None] * is_p0  # [..., nparts]
         bits_pk = s + (ks + 1) * cnt[..., None].astype(jnp.int64)
-        # zero-run cap: only k with max quotient <= QMAX are eligible
-        q_ok = (m_by_po[po][..., None] >> ks) <= QMAX
+        # code-length cap: only k whose worst code fits one word are eligible
+        q_ok = (m_by_po[po][..., None] >> ks) + ks + 1 <= CODE_BITS_MAX
         bits_pk = jnp.where(q_ok, bits_pk, INVALID)
 
         min4 = jnp.min(bits_pk[..., :n_k4], axis=-1)

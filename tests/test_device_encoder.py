@@ -113,3 +113,19 @@ def test_fixed_only_config(rng):
     cfg = EncoderConfig(block_size=256, max_lpc_order=0,
                         partition_orders=(0, 1, 2))
     roundtrip(pcm, cfg)
+
+
+def test_exact_order_search_mode(rng):
+    # "exact" mode evaluates every LPC order's true residual; both modes
+    # must round-trip and produce sane (close) sizes
+    pcm = make_pcm(rng, 256 * 4, 2, 16, "tonal")
+    cfg_exact = EncoderConfig(block_size=256, max_lpc_order=6,
+                              partition_orders=(0, 1, 2),
+                              order_search="exact")
+    _, frames_exact = roundtrip(pcm, cfg_exact)
+    cfg_est = EncoderConfig(block_size=256, max_lpc_order=6,
+                            partition_orders=(0, 1, 2),
+                            order_search="estimate")
+    _, frames_est = roundtrip(pcm, cfg_est)
+    a, b = sum(map(len, frames_exact)), sum(map(len, frames_est))
+    assert abs(a - b) / a < 0.05  # estimate ranking stays within 5%

@@ -44,7 +44,7 @@ def test_lpc_analysis_matches_oracle(rng):
     # to rounding, not bit-exact (Levinson then amplifies the ulps).
     np.testing.assert_allclose(np.asarray(autoc)[0], want_autoc, rtol=1e-12)
 
-    taps, valid = levinson_all_orders(autoc, p)
+    taps, errors, valid = levinson_all_orders(autoc, p)
     qcoefs, shifts, finite = quantize_all_orders(taps, prec)
     assert bool(valid.all()) and bool(finite.all())
 
@@ -102,7 +102,7 @@ def test_zigzag_matches(rng):
 
 
 def _brute_force_rice(zz, order, porders, preferred, kmax, n):
-    from flacx.ops.rice import QMAX
+    from flacx.ops.rice import CODE_BITS_MAX
     best = None
     for po in porders:
         nparts = 1 << po
@@ -120,7 +120,7 @@ def _brute_force_rice(zz, order, porders, preferred, kmax, n):
                 cnt = psize - (order if p == 0 else 0)
                 sizes = [sum(int(u) >> k for u in part) + (k + 1) * cnt
                          for k in range(klim + 1)
-                         if (max(part) >> k) <= QMAX]
+                         if (max(part) >> k) + k + 1 <= CODE_BITS_MAX]
                 if not sizes:
                     total = None
                     break
