@@ -30,7 +30,8 @@ DEFAULT_RICE_PARTITION_ORDER = "5"
 def cmd_encode(path_in: Path, path_out: Path, block_size: int,
                max_lpc_order: int, qlp_coeffs_precision: int,
                rice_partition_order: range, batch_frames: int,
-               stereo: str, device: bool) -> None:
+               stereo: str, device: bool,
+               wasted_bits: bool = False) -> None:
     from flacx import pipeline
     from flacx.wavio import read_wav
 
@@ -46,7 +47,8 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
             block_size=block_size, max_lpc_order=max_lpc_order,
             qlp_precision=qlp_coeffs_precision,
             partition_orders=tuple(rice_partition_order),
-            batch_frames=batch_frames, stereo=stereo, device=device)
+            batch_frames=batch_frames, stereo=stereo, device=device,
+            wasted_bits=wasted_bits)
     time_end = timer()
 
     delta = "{0:.6g}".format(time_end - time_start)
@@ -139,8 +141,54 @@ def make_argument_parser() -> ArgumentParser:
     encode.add_argument(
         "--no-device", action="store_true",
         help="Encode on the host oracle instead of the TPU/XLA pipeline.")
+    encode.add_argument(
+        "--wasted-bits", action="store_true",
+        help="Strip shared trailing zero bits per subframe (spec-correct "
+             "and smaller, but the reference decoder cannot read such "
+             "streams due to its wasted-bits parsing bug).")
+
+    corpus = action.add_parser(
+        "encode-corpus", formatter_class=ArgumentDefaultsHelpFormatter,
+        help="Batch-encode many WAV files with globally bucketed device "
+             "dispatches.")
+    corpus.add_argument("outdir", type=Path, metavar="outdir/")
+    corpus.add_argument("infiles", type=Path, nargs="+",
+                        metavar="infile.wav")
+    corpus.add_argument("-b", "--block-size", type=int,
+                        default=DEFAULT_BLOCK_SIZE, metavar="N")
+    corpus.add_argument("-l", "--max-lpc-order", type=int,
+                        default=DEFAULT_MAX_LPC_ORDER, metavar="N")
+    corpus.add_argument("-q", "--qlp-coeff-precision", type=int,
+                        default=DEFAULT_QLP_COEFF_PRECISION, metavar="N")
+    corpus.add_argument("-r", "--rice-partition-order", type=argparse_range,
+                        default=DEFAULT_RICE_PARTITION_ORDER,
+                        metavar="[M,]N")
+    corpus.add_argument("--batch-frames", type=int, default=128, metavar="N")
+    corpus.add_argument("--stereo", choices=("auto", "independent"),
+                        default="auto")
 
     return parser
+
+
+def cmd_encode_corpus(args) -> None:
+    from flacx.parallel.corpus import encode_corpus
+
+    if isinstance(args.rice_partition_order, str):
+        args.rice_partition_order = argparse_range(args.rice_partition_order)
+    time_start = timer()
+    result = encode_corpus(
+        args.infiles, args.outdir, block_size=args.block_size,
+        max_lpc_order=args.max_lpc_order,
+        qlp_precision=args.qlp_coeff_precision,
+        partition_orders=tuple(args.rice_partition_order),
+        batch_frames=args.batch_frames, stereo=args.stereo)
+    delta = timer() - time_start
+    ratio = result.bytes_out / max(result.bytes_in, 1)
+    print(f"Encoded {len(result.encoded)} files "
+          f"({result.samples} samples) in {delta:.6g} seconds "
+          f"(ratio {ratio:.3f})")
+    for path, err in result.failed.items():
+        print(f"  FAILED {path}: {err}")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -150,6 +198,9 @@ def main(argv: list[str] | None = None) -> None:
     if args.action == ACTION_DECODE:
         cmd_decode(args.infile, args.outfile, not args.no_device)
 
+    if args.action == "encode-corpus":
+        cmd_encode_corpus(args)
+
     if args.action == ACTION_ENCODE:
         if isinstance(args.rice_partition_order, str):
             args.rice_partition_order = argparse_range(
@@ -157,7 +208,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_encode(args.infile, args.outfile, args.block_size,
                    args.max_lpc_order, args.qlp_coeff_precision,
                    args.rice_partition_order, args.batch_frames,
-                   args.stereo, not args.no_device)
+                   args.stereo, not args.no_device,
+                   args.wasted_bits)
 
 
 if __name__ == "__main__":

@@ -72,6 +72,14 @@ class EncoderConfig:
     #: only for the winner; "exact" evaluates every order's true integer
     #: residual (best compression, ~reference-like selection).
     order_search: str = "estimate"
+    #: Detect and strip shared trailing zero bits per subframe (the
+    #: reference encoder never sets wasted bits, flac/encoder.py:556).
+    #: Spec-correct (RFC 9639) and handled by flacx's own and libFLAC's
+    #: decoders, but DEFAULT OFF because the reference *decoder* misparses
+    #: the wasted-bits unary (off-by-one, flac/decoder.py:346-355 — it
+    #: crashes on such streams) and out-of-the-box interop with it is a
+    #: compatibility goal.
+    wasted_bits: bool = False
 
     def __post_init__(self):
         if self.order_search not in ("estimate", "exact"):
@@ -104,9 +112,13 @@ class EncoderConfig:
 
     @property
     def porders(self) -> tuple[int, ...]:
-        """Legal partition orders (requested ∪ {0} fallback, divisibility)."""
+        """Legal partition orders: requested ∪ {0} fallback, divisibility,
+        and a partition-size floor of 64 samples (sub-64 partitions cost
+        more in parameter fields than they save and would blow up the
+        exhaustive-search tensors at block 16384 / order 15)."""
         legal = [o for o in self.partition_orders
-                 if o <= 15 and self.block_size % (1 << o) == 0]
+                 if o <= 15 and self.block_size % (1 << o) == 0
+                 and (self.block_size >> o) >= 64]
         return tuple(sorted(set(legal) | {0}))
 
     @property
@@ -138,12 +150,14 @@ class EncoderConfig:
 
 
 def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
-                  first_index: jnp.ndarray,
+                  frame_index: jnp.ndarray,
                   _stop_after: str | None = None) -> dict:
     """pcm int32 ``[B, channels, N]`` → packed frames ``[B, max_bytes]``.
 
-    ``_stop_after`` truncates the pipeline for stage-level profiling
-    ("analysis" | "select" | "residual" | "plan" | "emit" | "pack").
+    ``frame_index`` is either a scalar (first index of a contiguous batch)
+    or a per-frame ``[B]`` array (corpus mode mixes frames of many files
+    in one dispatch).  ``_stop_after`` truncates the pipeline for
+    stage-level profiling.
     """
     n = cfg.block_size
     b = pcm.shape[0]
@@ -165,6 +179,22 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         bps_v = jnp.full((cfg.channels,), cfg.bps, jnp.int32)
     nv = x_v.shape[1]
 
+    # ----- wasted bits: strip shared trailing zeros per virtual channel ----
+    if cfg.wasted_bits:
+        xu = x_v.astype(jnp.uint32)
+        lowbit = xu & (~xu + jnp.uint32(1))
+        tz = jnp.where(lowbit == 0, 63,
+                       jnp.round(jnp.log2(jnp.maximum(
+                           lowbit.astype(jnp.float64), 1.0))).astype(
+                               jnp.int32))
+        w_v = jnp.clip(jnp.min(tz, axis=-1), 0,
+                       bps_v[None, :] - 1).astype(jnp.int32)   # [B,V]
+        x_v = x_v >> w_v[..., None]
+        bps_v = bps_v[None, :] - w_v                           # [B,V] dynamic
+    else:
+        w_v = jnp.zeros((b, nv), jnp.int32)
+        bps_v = jnp.broadcast_to(bps_v, (b, nv))
+
     # ----- candidate analysis (fixed orders 0..4, LPC orders 1..P) --------
     cand_orders = jnp.array(list(range(5)) + list(range(1, p + 1)),
                             jnp.int32)                           # [5+P]
@@ -185,8 +215,8 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         qcoefs = jnp.zeros((b, nv, 1, 1), jnp.int32)
         qshifts = jnp.zeros((b, nv, 1), jnp.int32)
 
-    bps_v64 = bps_v.astype(jnp.int64)
-    over_warm = cand_orders.astype(jnp.int64) * bps_v64[:, None]
+    bps_v64 = bps_v.astype(jnp.int64)                            # [B,V]
+    over_warm = cand_orders.astype(jnp.int64) * bps_v64[..., None]
 
     # candidate size estimates: fixed orders from exact magnitude sums,
     # LPC orders either the same (order_search="exact") or mapped from the
@@ -269,7 +299,7 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     pred_res_v = jnp.where(pred_is_lpc[..., None], lpc_res, fixed_res)
 
     const_ok = jnp.all(x_v == x_v[..., :1], axis=-1)             # [B,V]
-    bps_bv = jnp.broadcast_to(bps_v, (b, nv)).astype(jnp.int64)
+    bps_bv = bps_v.astype(jnp.int64)                             # [B,V]
     const_bits = jnp.where(const_ok, 8 + bps_bv, _INF)
     verb_bits = 8 + n * bps_bv
     cost_v = jnp.minimum(jnp.minimum(pred_bits, verb_bits), const_bits)
@@ -284,13 +314,13 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         mode = jnp.argmin(mode_cost, axis=-1).astype(jnp.int32)   # [B]
         ch_code = codes[mode]
         sel = pairs[mode]                                         # [B,2]
-        bps_c = cfg.bps + decorr[mode]                            # [B,2]
+        bps_c = jnp.take_along_axis(bps_v, sel, axis=1)           # [B,2]
         c = 2
     else:
         c = cfg.channels
         sel = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), (b, c))
         ch_code = jnp.full((b,), int(INDEPENDENT_CHANNELS[c]), jnp.int32)
-        bps_c = jnp.broadcast_to(bps_v, (b, c))
+        bps_c = bps_v
 
     def gather_v(arr):
         idx = sel.reshape(b, c, *([1] * (arr.ndim - 2)))
@@ -301,6 +331,7 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     order = gather_v(pred_order)
     const_sel = gather_v(const_ok)
     f_order = gather_v(fixed_order)
+    wasted = gather_v(w_v)                                       # [B,C]
     res = gather_v(pred_res_v)                                   # [B,C,N] i64
 
     # chosen taps & shift
@@ -343,11 +374,13 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
                          jnp.minimum(verb_total, pred_total))
 
     # ----- emission --------------------------------------------------------
-    hdr = frame_header_symbols(
-        first_index + jnp.arange(b, dtype=jnp.int64), ch_code, n)
+    indices = (frame_index + jnp.arange(b, dtype=jnp.int64)
+               if frame_index.ndim == 0 else frame_index.astype(jnp.int64))
+    hdr = frame_header_symbols(indices, ch_code, n)
     sv, sl = emit.subframe_symbols(kind, order, bps_c, x_sel, taps, shift,
                                    prec, zz, plan,
-                                   psize_min=n >> max(cfg.porders))
+                                   psize_min=n >> max(cfg.porders),
+                                   wasted=wasted)
     sv = sv.reshape(b, -1)
     sl = sl.reshape(b, -1)
 

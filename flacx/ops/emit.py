@@ -39,7 +39,9 @@ def param_slot_positions(n: int, psize_min: int) -> list[int]:
 def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
                      x: jnp.ndarray, taps: jnp.ndarray, shift: jnp.ndarray,
                      precision: int, zz: jnp.ndarray, plan: RicePlan,
-                     psize_min: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                     psize_min: int,
+                     wasted: jnp.ndarray | None = None,
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Emit symbols for a batch of subframes.
 
     Args:
@@ -64,13 +66,20 @@ def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
     is_pred = kind >= KIND_FIXED
     is_lpc = kind == KIND_LPC
 
-    # --- subframe header (1 bit pad + 6-bit type + wasted flag = 8 bits)
+    # --- subframe header (1 bit pad + 6-bit type + wasted flag = 8 bits),
+    #     followed by the unary wasted count ((w-1) zeros then a 1 = w bits)
+    if wasted is None:
+        wasted = jnp.zeros((b, c), jnp.int32)
+    has_wasted = wasted > 0
     type_code = jnp.where(
         kind == KIND_CONSTANT, 0,
         jnp.where(kind == KIND_VERBATIM, 1,
                   jnp.where(kind == KIND_FIXED, 8 + order, 32 + order - 1)))
-    hdr_v = (type_code.astype(jnp.uint32) << 1)[..., None]
+    hdr_v = ((type_code.astype(jnp.uint32) << 1)
+             | has_wasted.astype(jnp.uint32))[..., None]
     hdr_l = jnp.full((b, c, 1), 8, jnp.int32)
+    wst_v = jnp.ones((b, c, 1), jnp.uint32)
+    wst_l = jnp.where(has_wasted, wasted, 0)[..., None].astype(jnp.int32)
 
     # --- warmup slots (constant value rides in slot 0)
     ti = jnp.arange(t, dtype=jnp.int32)
@@ -143,10 +152,10 @@ def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
         return out
 
     values = jnp.concatenate(
-        [hdr_v, warm_v, meta_v, coef_v, rmeta_v,
+        [hdr_v, wst_v, warm_v, meta_v, coef_v, rmeta_v,
          *interleave(param_v, samp_v)], axis=-1)
     lengths = jnp.concatenate(
-        [hdr_l, warm_l, meta_l, coef_l, rmeta_l,
+        [hdr_l, wst_l, warm_l, meta_l, coef_l, rmeta_l,
          *interleave(param_l, samp_l)], axis=-1)
     return values, lengths
 

@@ -1,0 +1,118 @@
+"""Corpus-scale encode: many WAV files per device dispatch.
+
+BASELINE.json configs[3]: heterogeneous WAVs are bucketed by stream
+parameters; every FULL block from every file in a bucket feeds one global
+``[B, channels, block_size]`` dispatch stream (frames are self-contained,
+so files mix freely within a batch — per-frame index arrays carry each
+frame's own coded number).  Host assembly scatters the encoded frames back
+to their files; short final blocks go through the oracle.  One bad file
+isolates to that file (SURVEY.md §5 failure-isolation row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+from flacx.encoder import BatchEncoder, EncoderConfig
+from flacx.pipeline import _oracle_frame
+from flacx.stream import StreamWriter
+from flacx.wavio import read_wav
+
+
+@dataclass
+class CorpusResult:
+    encoded: list[Path] = field(default_factory=list)
+    failed: dict[str, str] = field(default_factory=dict)
+    samples: int = 0
+    bytes_in: int = 0
+    bytes_out: int = 0
+
+
+def encode_corpus(paths: Sequence[Path | str], out_dir: Path | str, *,
+                  block_size: int = 4608, max_lpc_order: int = 12,
+                  qlp_precision: int = 5,
+                  partition_orders: tuple[int, ...] = (0, 1, 2, 3, 4, 5),
+                  batch_frames: int = 128, stereo: str = "auto",
+                  sharding=None) -> CorpusResult:
+    """Encode many WAV files with globally batched device dispatches."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    result = CorpusResult()
+
+    # ---- load and bucket by stream parameters -----------------------------
+    buckets: dict[tuple, list[tuple[Path, np.ndarray]]] = {}
+    for path in map(Path, paths):
+        try:
+            sr, bps, ch, pcm = read_wav(path)
+        except Exception as exc:  # noqa: BLE001 — per-file isolation
+            result.failed[str(path)] = f"read: {exc}"
+            continue
+        buckets.setdefault((sr, bps, ch), []).append((path, pcm))
+
+    for (sr, bps, ch), files in buckets.items():
+        cfg = EncoderConfig(
+            sample_rate=sr, bps=bps, channels=ch, block_size=block_size,
+            max_lpc_order=min(max_lpc_order, 12) if sr <= 48_000
+            else max_lpc_order,
+            qlp_precision=qlp_precision, partition_orders=partition_orders,
+            stereo=stereo)
+        enc = BatchEncoder(cfg, batch_frames=batch_frames, sharding=sharding)
+
+        # global (file, frame) work list over FULL blocks
+        work: list[tuple[int, int]] = []   # (file_no, frame_no)
+        planars = []
+        for file_no, (path, pcm) in enumerate(files):
+            n_full = pcm.shape[0] // block_size
+            planar = (pcm[: n_full * block_size]
+                      .reshape(n_full, block_size, ch)
+                      .transpose(0, 2, 1).astype(np.int32))
+            planars.append(planar)
+            work.extend((file_no, i) for i in range(n_full))
+
+        frames_by_file: dict[int, dict[int, bytes]] = {
+            i: {} for i in range(len(files))}
+
+        b = batch_frames
+        for lo in range(0, len(work), b):
+            chunk = work[lo: lo + b]
+            pcm_batch = np.stack(
+                [planars[f][i] for f, i in chunk], axis=0)
+            idx_batch = np.array([i for _, i in chunk], np.int64)
+            valid = len(chunk)
+            if valid < b:
+                pcm_batch = np.concatenate(
+                    [pcm_batch, np.zeros((b - valid, *pcm_batch.shape[1:]),
+                                         np.int32)])
+                idx_batch = np.concatenate(
+                    [idx_batch, np.zeros(b - valid, np.int64)])
+            out = enc._fn(pcm_batch, idx_batch)
+            data = np.asarray(out["bytes"])
+            lens = np.asarray(out["length"])
+            for r, (f, i) in enumerate(chunk):
+                frames_by_file[f][i] = data[r, : lens[r]].tobytes()
+
+        # ---- per-file assembly ------------------------------------------
+        for file_no, (path, pcm) in enumerate(files):
+            out_path = out_dir / (path.stem + ".flac")
+            total = pcm.shape[0]
+            n_full = total // block_size
+            tail = total - n_full * block_size
+            with out_path.open("wb") as f:
+                writer = StreamWriter(f, sr, bps, ch, total, block_size)
+                writer.add_pcm(pcm)
+                for i in range(n_full):
+                    writer.write_frame(frames_by_file[file_no][i])
+                if tail:
+                    writer.write_frame(_oracle_frame(
+                        pcm[n_full * block_size:], n_full, bps, block_size,
+                        cfg.max_lpc_order, qlp_precision, partition_orders))
+                writer.finalize()
+                result.bytes_out += f.tell()
+            result.encoded.append(out_path)
+            result.samples += total
+            result.bytes_in += total * ch * (bps // 8)
+    return result

@@ -38,6 +38,7 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
                    max_lpc_order: int, qlp_precision: int,
                    partition_orders: tuple[int, ...], batch_frames: int = 32,
                    stereo: str = "auto", device: bool = True,
+                   wasted_bits: bool = False,
                    sharding=None) -> dict:
     """Encode interleaved PCM ``[frames, channels]`` into ``f`` (seekable).
 
@@ -56,7 +57,7 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
             sample_rate=sample_rate, bps=bps, channels=channels,
             block_size=block_size, max_lpc_order=max_lpc_order,
             qlp_precision=qlp_precision, partition_orders=partition_orders,
-            stereo=stereo)
+            stereo=stereo, wasted_bits=wasted_bits)
         enc = BatchEncoder(cfg, batch_frames=batch_frames,
                            sharding=sharding)
         planar = (pcm[: n_full * block_size]

@@ -129,3 +129,59 @@ def test_exact_order_search_mode(rng):
     _, frames_est = roundtrip(pcm, cfg_est)
     a, b = sum(map(len, frames_exact)), sum(map(len, frames_est))
     assert abs(a - b) / a < 0.05  # estimate ranking stays within 5%
+
+
+def test_hires_config(rng):
+    # configs[2]: 24-bit/96 kHz, LPC order up to 32, wide partition range
+    # (scaled-down block size to keep CPU compile times sane)
+    pcm = make_pcm(rng, 1024 * 3, 2, 24, "tonal")
+    cfg = EncoderConfig(block_size=1024, max_lpc_order=32, bps=24,
+                        sample_rate=96000,
+                        partition_orders=tuple(range(16)))
+    assert max(cfg.porders) == 4  # 1024/64: partition-size floor applies
+    roundtrip(pcm, cfg)
+
+
+def test_corpus_encode(rng, tmp_path):
+    from flacx.decoder import decode_array
+    from flacx.parallel.corpus import encode_corpus
+    from flacx.wavio import write_wav
+
+    wavs, pcms = [], []
+    for i, frames in enumerate([256 * 3 + 100, 256 * 2, 256 * 4 + 7]):
+        pcm = make_pcm(rng, frames, 2, 16, ["tonal", "noise", "impulse"][i])
+        p = tmp_path / f"in{i}.wav"
+        write_wav(p, 44100, 16, pcm)
+        wavs.append(p)
+        pcms.append(pcm)
+    # one deliberately broken input: per-file isolation
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not a wav")
+    wavs.append(bad)
+
+    result = encode_corpus(wavs, tmp_path / "out", block_size=256,
+                           max_lpc_order=6, partition_orders=(0, 1, 2),
+                           batch_frames=4)
+    assert len(result.encoded) == 3
+    assert list(result.failed) == [str(bad)]
+    for i, pcm in enumerate(pcms):
+        data = (tmp_path / "out" / f"in{i}.flac").read_bytes()
+        si, got = decode_array(data, batch_frames=4)
+        np.testing.assert_array_equal(got, pcm)
+
+
+def test_wasted_bits_detected(rng):
+    # 16-bit content shifted into the top of a 24-bit container: the
+    # encoder must strip the 8 shared trailing zeros and win big
+    pcm16 = make_pcm(rng, 256 * 3, 2, 16, "tonal")
+    pcm24 = (pcm16.astype(np.int32) << 8)
+    cfg = EncoderConfig(block_size=256, max_lpc_order=6, bps=24,
+                        sample_rate=96000, partition_orders=(0, 1, 2),
+                        wasted_bits=True)
+    stream, frames = roundtrip(pcm24, cfg)
+
+    cfg_off = EncoderConfig(block_size=256, max_lpc_order=6, bps=24,
+                            sample_rate=96000, partition_orders=(0, 1, 2),
+                            wasted_bits=False)
+    stream_off, frames_off = roundtrip(pcm24, cfg_off)
+    assert sum(map(len, frames)) < 0.9 * sum(map(len, frames_off))
