@@ -447,11 +447,11 @@ class BatchEncoder:
         pending: list[tuple[dict, int]] = []
 
         def drain(entry):
+            from flacx.native import assemble_frames
             result, valid = entry
             data = np.asarray(result["bytes"])
             lens = np.asarray(result["length"])
-            for r in range(valid):
-                out.append(data[r, : lens[r]].tobytes())
+            out.extend(assemble_frames(data[:valid], lens[:valid]))
 
         for start in range(0, f, bsz):
             chunk = pcm[start: start + bsz]

@@ -1,0 +1,116 @@
+"""Native host-runtime bindings (C++, ctypes; numpy fallback).
+
+``lib()`` returns the loaded library or None.  The library is built on
+demand with the system compiler (see ``flacx/native/build.py``); every
+caller has a numpy fallback, so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).parent / "libflacxhost.so"
+_lib = None
+_tried = False
+
+
+def lib() -> ctypes.CDLL | None:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists():
+        try:
+            from flacx.native.build import build
+            build()
+        except Exception:
+            return None
+    try:
+        cdll = ctypes.CDLL(str(_LIB_PATH))
+        cdll.flacx_assemble_frames.restype = ctypes.c_int64
+        cdll.flacx_assemble_frames.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p]
+        cdll.flacx_crc16_rows.restype = None
+        cdll.flacx_crc16_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p]
+        cdll.flacx_pack24.restype = None
+        cdll.flacx_pack24.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_void_p]
+        _lib = cdll
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def assemble_frames(data: np.ndarray, lengths: np.ndarray) -> list[bytes]:
+    """Gather ``data[i, :lengths[i]]`` rows; returns per-row byte strings.
+
+    Uses one native pass + zero-copy slicing when the library is present.
+    """
+    data = np.ascontiguousarray(data, np.uint8)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    cdll = lib()
+    if cdll is None:
+        return [data[i, : lengths[i]].tobytes()
+                for i in range(data.shape[0])]
+    total = int(lengths.sum())
+    out = np.empty(total, np.uint8)
+    cdll.flacx_assemble_frames(
+        data.ctypes.data, lengths.ctypes.data, data.shape[0],
+        data.shape[1], out.ctypes.data)
+    blob = out.tobytes()
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    return [blob[offsets[i]: offsets[i + 1]]
+            for i in range(data.shape[0])]
+
+
+def assemble_stream(data: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Gather rows into ONE contiguous byte string (streaming fast path)."""
+    data = np.ascontiguousarray(data, np.uint8)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    cdll = lib()
+    if cdll is None:
+        return b"".join(data[i, : lengths[i]].tobytes()
+                        for i in range(data.shape[0]))
+    total = int(lengths.sum())
+    out = np.empty(total, np.uint8)
+    cdll.flacx_assemble_frames(
+        data.ctypes.data, lengths.ctypes.data, data.shape[0],
+        data.shape[1], out.ctypes.data)
+    return out.tobytes()
+
+
+def crc16_rows(data: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """CRC-16 of ``data[i, :lengths[i]]`` per row (native or numpy)."""
+    cdll = lib()
+    if cdll is None:
+        from flacx.crc import crc16_batch
+        return crc16_batch(np.ascontiguousarray(data, np.uint8),
+                           np.asarray(lengths))
+    data = np.ascontiguousarray(data, np.uint8)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    out = np.empty(data.shape[0], np.uint16)
+    cdll.flacx_crc16_rows(data.ctypes.data, lengths.ctypes.data,
+                          data.shape[0], data.shape[1], out.ctypes.data)
+    return out
+
+
+def pack24(samples: np.ndarray) -> bytes:
+    """Interleaved little-endian 3-byte packing of int32 samples."""
+    flat = np.ascontiguousarray(samples.reshape(-1), np.int32)
+    cdll = lib()
+    if cdll is None:
+        u = flat.view(np.uint32) & 0xFFFFFF
+        out = np.empty((flat.size, 3), np.uint8)
+        out[:, 0] = u & 0xFF
+        out[:, 1] = (u >> 8) & 0xFF
+        out[:, 2] = (u >> 16) & 0xFF
+        return out.tobytes()
+    out = np.empty(flat.size * 3, np.uint8)
+    cdll.flacx_pack24(flat.ctypes.data, flat.size, out.ctypes.data)
+    return out.tobytes()

@@ -1,0 +1,26 @@
+"""Build the native host-runtime library with the system compiler."""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+from pathlib import Path
+
+HERE = Path(__file__).parent
+
+
+def build(verbose: bool = False) -> Path:
+    src = HERE / "hostops.cc"
+    out = HERE / "libflacxhost.so"
+    cxx = shutil.which("c++") or shutil.which("g++") or shutil.which("clang++")
+    if cxx is None:
+        raise RuntimeError("no C++ compiler found")
+    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17",
+           str(src), "-o", str(out)]
+    subprocess.run(cmd, check=True,
+                   capture_output=not verbose)
+    return out
+
+
+if __name__ == "__main__":
+    print(build(verbose=True))
