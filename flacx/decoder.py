@@ -142,8 +142,9 @@ def decode_array(data: bytes, batch_frames: int = 256,
         for i, (o, e) in enumerate(zip(batch_off, batch_end)):
             rows[i, : e - o] = arr[o:e]
         if verify_crc:
+            from flacx.native import crc16_rows
             lens = (batch_end - batch_off).astype(np.int64)
-            crcs = crc16_batch(rows, lens - 2)
+            crcs = crc16_rows(rows, (lens - 2).astype(np.int32))
             stored = ((rows[np.arange(hi - lo), lens - 2].astype(np.uint16)
                        << 8)
                       | rows[np.arange(hi - lo), lens - 1])

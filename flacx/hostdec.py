@@ -106,13 +106,70 @@ class ParsedFrames(NamedTuple):
 
 def parse_frames(data: np.ndarray, start_bits: np.ndarray, block_size: int,
                  channels: int, bps: int) -> ParsedFrames:
-    """Lockstep-parse F equal-block-size frames.
+    """Parse F equal-block-size frames (native C++ runtime when available,
+    lockstep numpy otherwise).
 
     Args:
       data: ``[F, L]`` u8 — each row holds (at least) one whole frame.
       start_bits: ``[F]`` bit offset of each frame's sync code in its row.
       block_size / channels / bps: stream parameters (from Streaminfo).
     """
+    native = _parse_frames_native(data, start_bits, block_size, channels,
+                                  bps)
+    if native is not None:
+        return native
+    return parse_frames_numpy(data, start_bits, block_size, channels, bps)
+
+
+def _parse_frames_native(data, start_bits, block_size, channels, bps
+                         ) -> ParsedFrames | None:
+    from flacx.native import lib
+    cdll = lib()
+    if cdll is None or not hasattr(cdll, "flacx_parse_frames"):
+        return None
+    import ctypes
+
+    f = data.shape[0]
+    data = np.ascontiguousarray(data, np.uint8)
+    start = np.ascontiguousarray(start_bits, np.int64)
+    channel_code = np.zeros(f, np.int32)
+    kind = np.zeros((f, channels), np.int32)
+    order = np.zeros((f, channels), np.int32)
+    shift = np.zeros((f, channels), np.int32)
+    wasted = np.zeros((f, channels), np.int32)
+    taps = np.zeros((f, channels, 32), np.int32)
+    residual = np.zeros((f, channels, block_size), np.int64)
+    end_bits = np.zeros(f, np.int64)
+
+    cdll.flacx_parse_frames.restype = ctypes.c_int64
+    rc = cdll.flacx_parse_frames(
+        ctypes.c_void_p(data.ctypes.data), ctypes.c_int64(f),
+        ctypes.c_int64(data.shape[1]),
+        ctypes.c_void_p(start.ctypes.data),
+        ctypes.c_int32(block_size), ctypes.c_int32(channels),
+        ctypes.c_int32(bps),
+        ctypes.c_void_p(channel_code.ctypes.data),
+        ctypes.c_void_p(kind.ctypes.data),
+        ctypes.c_void_p(order.ctypes.data),
+        ctypes.c_void_p(shift.ctypes.data),
+        ctypes.c_void_p(wasted.ctypes.data),
+        ctypes.c_void_p(taps.ctypes.data),
+        ctypes.c_void_p(residual.ctypes.data),
+        ctypes.c_void_p(end_bits.ctypes.data))
+    if rc != 0:
+        raise ValueError(f"frame parse error in row {int(rc) - 1}")
+    return ParsedFrames(channel_code=channel_code,
+                        kind=kind.astype(np.int64),
+                        order=order.astype(np.int64),
+                        shift=shift.astype(np.int64),
+                        taps=taps.astype(np.int64), wasted=wasted,
+                        residual=residual, end_bits=end_bits)
+
+
+def parse_frames_numpy(data: np.ndarray, start_bits: np.ndarray,
+                       block_size: int, channels: int,
+                       bps: int) -> ParsedFrames:
+    """Lockstep numpy fallback parser."""
     f = data.shape[0]
     n = block_size
     r = VectorBitReader(data, start_bits)

@@ -68,3 +68,199 @@ void flacx_pack24(const int32_t* samples, int64_t n, uint8_t* out) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FLAC frame parser: the decode-side host runtime.
+//
+// Parses a batch of equal-block-size frames into structure-of-arrays form
+// (same contract as flacx/hostdec.py's lockstep numpy parser, which remains
+// the fallback); predictor reconstruction then runs on the device
+// (flacx/ops/reconstruct.py).  Grammar per RFC 9639; see reference
+// flac/decoder.py:267-421 for the layer being replaced.
+
+namespace {
+
+struct BitCursor {
+    const uint8_t* d;
+    int64_t nbytes;
+    int64_t pos;  // bit offset
+
+    inline uint64_t window() const {
+        // 64 bits starting at pos (MSB-first), zero-padded past the end
+        int64_t byte0 = pos >> 3;
+        uint64_t w = 0;
+        for (int i = 0; i < 9; ++i) {
+            uint64_t b = (byte0 + i < nbytes) ? d[byte0 + i] : 0;
+            if (i < 8) w = (w << 8) | b;
+            else {
+                int sh = static_cast<int>(pos & 7);
+                if (sh) w = (w << sh) | (b >> (8 - sh));
+            }
+        }
+        return w;
+    }
+
+    inline uint64_t read(int n) {
+        if (n == 0) return 0;
+        uint64_t v = window() >> (64 - n);
+        pos += n;
+        return v;
+    }
+
+    inline int64_t read_signed(int n) {
+        if (n == 0) return 0;
+        int64_t x = static_cast<int64_t>(read(n));
+        if (x >> (n - 1)) x -= (int64_t(1) << n);
+        return x;
+    }
+
+    inline int64_t read_unary() {
+        int64_t q = 0;
+        for (;;) {
+            uint64_t w = window();
+            if (w == 0) {
+                q += 64;
+                pos += 64;
+                if (pos > nbytes * 8 + 64) return -1;  // corrupt
+                continue;
+            }
+            int lz = __builtin_clzll(w);
+            pos += lz + 1;
+            return q + lz;
+        }
+    }
+};
+
+const int kFixedTaps[5][4] = {
+    {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0},
+    {3, -3, 1, 0}, {4, -6, 4, -1}};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, (row + 1) on a parse error in that row.
+int64_t flacx_parse_frames(const uint8_t* data, int64_t n_rows,
+                           int64_t row_stride, const int64_t* start_bits,
+                           int32_t block_size, int32_t channels, int32_t bps,
+                           int32_t* channel_code, int32_t* kind,
+                           int32_t* order, int32_t* shift, int32_t* wasted,
+                           int32_t* taps /* [F,C,32] */,
+                           int64_t* residual /* [F,C,N] */,
+                           int64_t* end_bits /* [F] */) {
+    const int64_t n = block_size;
+    for (int64_t r = 0; r < n_rows; ++r) {
+        BitCursor cur{data + r * row_stride, row_stride, start_bits[r]};
+
+        // ---- frame header (sync/CRC already validated by the scanner)
+        cur.read(16);                       // sync + blocking strategy
+        uint32_t bs_code = static_cast<uint32_t>(cur.read(4));
+        uint32_t sr_code = static_cast<uint32_t>(cur.read(4));
+        uint32_t ch_code = static_cast<uint32_t>(cur.read(4));
+        cur.read(4);                        // sample size + reserved
+        uint32_t b0 = static_cast<uint32_t>(cur.read(8));
+        int extra = 0;                      // coded-number continuation
+        for (uint32_t m = 0x80; m && (b0 & m); m >>= 1) ++extra;
+        if (extra > 0) --extra;
+        cur.read(8 * extra);
+        if (bs_code == 6) cur.read(8);
+        else if (bs_code == 7) cur.read(16);
+        if (sr_code == 12) cur.read(8);
+        else if (sr_code == 13 || sr_code == 14) cur.read(16);
+        cur.read(8);                        // header CRC
+
+        channel_code[r] = static_cast<int32_t>(ch_code);
+        int decorr[8] = {0};
+        if (channels == 2) {
+            if (ch_code == 8) decorr[1] = 1;        // L/S
+            else if (ch_code == 9) decorr[0] = 1;   // S/R
+            else if (ch_code == 10) decorr[1] = 1;  // M/S
+        }
+
+        for (int c = 0; c < channels; ++c) {
+            const int64_t sub = (r * channels + c);
+            int64_t* res = residual + sub * n;
+            int32_t* tp = taps + sub * 32;
+
+            if (cur.read(1) != 0) return r + 1;
+            uint32_t type_code = static_cast<uint32_t>(cur.read(6));
+            int w = 0;
+            if (cur.read(1) == 1) {
+                int64_t u = cur.read_unary();
+                if (u < 0) return r + 1;
+                w = static_cast<int>(u) + 1;
+            }
+            wasted[sub] = w;
+            int eff = bps + decorr[c] - w;
+
+            int k, o;
+            if (type_code == 0) { k = 0; o = 0; }
+            else if (type_code == 1) { k = 1; o = 0; }
+            else if (type_code >= 8 && type_code <= 12) {
+                k = 2; o = static_cast<int>(type_code & 7);
+            } else if (type_code >= 32) {
+                k = 3; o = static_cast<int>(type_code & 31) + 1;
+            } else return r + 1;
+            kind[sub] = k;
+            order[sub] = o;
+            shift[sub] = 0;
+
+            if (k == 0) {                    // constant
+                int64_t v = cur.read_signed(eff);
+                for (int64_t i = 0; i < n; ++i) res[i] = v;
+                continue;
+            }
+            if (k == 1) {                    // verbatim
+                for (int64_t i = 0; i < n; ++i)
+                    res[i] = cur.read_signed(eff);
+                continue;
+            }
+            for (int i = 0; i < o; ++i)      // warmup
+                res[i] = cur.read_signed(eff);
+            if (k == 3) {                    // LPC meta + coefficients
+                int prec = static_cast<int>(cur.read(4));
+                if (prec == 15) return r + 1;
+                ++prec;
+                shift[sub] = static_cast<int32_t>(cur.read_signed(5));
+                for (int i = 0; i < o; ++i)
+                    tp[i] = static_cast<int32_t>(cur.read_signed(prec));
+            } else {
+                for (int i = 0; i < 4; ++i) tp[i] = kFixedTaps[o][i];
+            }
+
+            // residual partitions
+            uint32_t method = static_cast<uint32_t>(cur.read(2));
+            if (method > 1) return r + 1;
+            int width = method == 0 ? 4 : 5;
+            uint32_t escape = (1u << width) - 1;
+            int po = static_cast<int>(cur.read(4));
+            int64_t nparts = int64_t(1) << po;
+            if (n % nparts || (n >> po) <= o) return r + 1;
+            int64_t psize = n >> po;
+            int64_t i = o;
+            for (int64_t p = 0; p < nparts; ++p) {
+                int64_t limit = (p + 1) * psize;
+                uint32_t param = static_cast<uint32_t>(cur.read(width));
+                if (param == escape) {
+                    int esc = static_cast<int>(cur.read(5));
+                    for (; i < limit; ++i) res[i] = cur.read_signed(esc);
+                } else {
+                    for (; i < limit; ++i) {
+                        int64_t q = cur.read_unary();
+                        if (q < 0) return r + 1;
+                        uint64_t u = (static_cast<uint64_t>(q) << param)
+                                     | cur.read(param);
+                        res[i] = static_cast<int64_t>(u >> 1)
+                                 ^ -static_cast<int64_t>(u & 1);
+                    }
+                }
+            }
+        }
+        // end_bits is the pre-padding cursor (same contract as the numpy
+        // parser); padding content is covered by the frame CRC check
+        end_bits[r] = cur.pos;
+    }
+    return 0;
+}
+
+}  // extern "C"

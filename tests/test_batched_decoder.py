@@ -90,3 +90,31 @@ def test_corruption_detected(rng):
     data[len(data) // 2] ^= 0x10
     with pytest.raises(Exception):
         decode_array(bytes(data))
+
+
+def test_native_parser_matches_numpy(rng):
+    # both parser backends must produce identical structure-of-arrays
+    import flacx.native as native
+    if native.lib() is None:
+        pytest.skip("native runtime unavailable")
+    from flacx.decoder import parse_stream_header, scan_frame_offsets
+    from flacx.hostdec import _parse_frames_native, parse_frames_numpy
+
+    pcm = make_pcm(rng, 512 * 4, 2, 16, "tonal")
+    data = encode_bytes(pcm, block_size=512)
+    si, first = parse_stream_header(data)
+    off = scan_frame_offsets(data, first)
+    arr = np.frombuffer(data, np.uint8)
+    ends = np.append(off[1:], len(data))
+    width = int((ends - off).max())
+    rows = np.zeros((len(off), width), np.uint8)
+    for i, (o, e) in enumerate(zip(off, ends)):
+        rows[i, : e - o] = arr[o:e]
+    zero = np.zeros(len(off), np.int64)
+    a = _parse_frames_native(rows, zero, 512, 2, 16)
+    b = parse_frames_numpy(rows, zero, 512, 2, 16)
+    for name in ("channel_code", "kind", "order", "shift", "wasted",
+                 "residual", "end_bits"):
+        np.testing.assert_array_equal(getattr(a, name), getattr(b, name),
+                                      err_msg=name)
+    np.testing.assert_array_equal(a.taps[..., :32], b.taps[..., :32])
