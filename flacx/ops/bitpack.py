@@ -66,13 +66,17 @@ def _merge_level(words: jnp.ndarray, bits: jnp.ndarray,
 
 
 def pack_symbols(values: jnp.ndarray, lengths: jnp.ndarray,
-                 max_bytes: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                 max_bytes: int,
+                 use_tile_kernel: bool | None = None,
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pack per-row symbol streams into byte arrays (merge-tree algorithm).
 
     Args:
       values: ``[B, S]`` uint32 symbol payloads (low bits, ``< 2**length``).
       lengths: ``[B, S]`` int32 bit lengths in ``0..32`` (0 = absent).
       max_bytes: static output capacity per row (multiple of 4).
+      use_tile_kernel: run the lower tree levels in the Pallas VMEM kernel
+        (``flacx.kernels.bitpack_tile``); None = auto (TPU backend only).
     Returns:
       ``(bytes u8 [B, max_bytes], total_bits i32 [B])``; bytes beyond each
       row's stream are zero.
@@ -88,14 +92,27 @@ def pack_symbols(values: jnp.ndarray, lengths: jnp.ndarray,
         values = jnp.pad(values, ((0, 0), (0, s_pow - s)))
         lengths = jnp.pad(lengths, ((0, 0), (0, s_pow - s)))
 
-    # level 0: MSB-align each value in one word
-    l32 = lengths.astype(jnp.uint32)
-    words = jnp.where(lengths > 0,
-                      values << ((32 - l32) & 31), 0)[..., None]
-    words = jnp.where((lengths > 0)[..., None], words, 0)
-    bits = lengths
+    if use_tile_kernel is None:
+        use_tile_kernel = jax.default_backend() == "tpu"
 
-    cap = 1
+    from flacx.kernels.bitpack_tile import LANES, TILE, merge_tiles
+    if (use_tile_kernel and s_pow >= TILE
+            and (b * s_pow // TILE) % LANES == 0):
+        n_tiles = b * s_pow // TILE
+        tw, tb = merge_tiles(values.reshape(n_tiles, TILE),
+                             lengths.reshape(n_tiles, TILE))
+        words = tw.reshape(b, s_pow // TILE, TILE)
+        bits = tb.reshape(b, s_pow // TILE)
+        cap = TILE
+    else:
+        # level 0: MSB-align each value in one word
+        l32 = lengths.astype(jnp.uint32)
+        words = jnp.where(lengths > 0,
+                          values << ((32 - l32) & 31),
+                          jnp.uint32(0))[..., None]
+        bits = lengths
+        cap = 1
+
     while words.shape[1] > 1:
         cap = min(cap * 2, cap_words + 2)
         words, bits = _merge_level(words, bits, cap)
