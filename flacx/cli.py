@@ -9,12 +9,9 @@ without disturbing that surface.
 
 from __future__ import annotations
 
-import sys
 from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
 from pathlib import Path
 from timeit import default_timer as timer
-
-import numpy as np
 
 from flacx.utils import argparse_range
 
@@ -31,7 +28,8 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
                max_lpc_order: int, qlp_coeffs_precision: int,
                rice_partition_order: range, batch_frames: int,
                stereo: str, device: bool,
-               wasted_bits: bool = False) -> None:
+               wasted_bits: bool = False,
+               exact_order_search: bool = False) -> None:
     from flacx import pipeline
     from flacx.wavio import read_wav
 
@@ -48,7 +46,8 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
             qlp_precision=qlp_coeffs_precision,
             partition_orders=tuple(rice_partition_order),
             batch_frames=batch_frames, stereo=stereo, device=device,
-            wasted_bits=wasted_bits)
+            wasted_bits=wasted_bits,
+            order_search="exact" if exact_order_search else "estimate")
     time_end = timer()
 
     delta = "{0:.6g}".format(time_end - time_start)
@@ -142,6 +141,10 @@ def make_argument_parser() -> ArgumentParser:
         "--no-device", action="store_true",
         help="Encode on the host oracle instead of the TPU/XLA pipeline.")
     encode.add_argument(
+        "--exact-order-search", action="store_true",
+        help="Evaluate every LPC order's true integer residual instead of "
+             "ranking by prediction error (best compression, slower).")
+    encode.add_argument(
         "--wasted-bits", action="store_true",
         help="Strip shared trailing zero bits per subframe (spec-correct "
              "and smaller, but the reference decoder cannot read such "
@@ -209,7 +212,7 @@ def main(argv: list[str] | None = None) -> None:
                    args.max_lpc_order, args.qlp_coeff_precision,
                    args.rice_partition_order, args.batch_frames,
                    args.stereo, not args.no_device,
-                   args.wasted_bits)
+                   args.wasted_bits, args.exact_order_search)
 
 
 if __name__ == "__main__":

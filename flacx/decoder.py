@@ -21,13 +21,11 @@ blocking strategies) fall back to the strict oracle decoder.
 from __future__ import annotations
 
 import io
-from typing import Iterator
-
 import numpy as np
 
 from flacx.bitio import BitReader
-from flacx.crc import crc8, crc16_batch
-from flacx.format import MAGIC, Channels, MetadataBlockType, Streaminfo
+from flacx.crc import crc8
+from flacx.format import MAGIC, MetadataBlockType, Streaminfo
 from flacx.oracle.decoder import (FlacFormatError, read_frame,
                                   read_metadata_header, read_streaminfo)
 

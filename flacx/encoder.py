@@ -25,9 +25,7 @@ Improvements over the reference encoder, all spec-conformant:
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
-from typing import Iterator, Sequence
-
+from dataclasses import dataclass
 import numpy as np
 
 import flacx.ops  # noqa: F401  (x64)

@@ -20,9 +20,8 @@ from flacx.crc import crc8, crc16
 from flacx.format import (FIXED_PREDICTOR_COEFFICIENTS, FRAME_SYNC_CODE,
                           MAGIC, SAMPLE_RATE_DECODING, SAMPLE_SIZE_DECODING,
                           BlockingStrategy, Channels, Frame, FrameHeader,
-                          MetadataBlockHeader, MetadataBlockType, Residual,
-                          RiceCodingMethod, RicePartition, Streaminfo,
-                          Subframe, SubframeKind)
+                          MetadataBlockHeader, MetadataBlockType,
+                          Streaminfo, Subframe, SubframeKind)
 from flacx.utils import zigzag_decode
 
 

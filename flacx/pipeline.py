@@ -38,7 +38,7 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
                    max_lpc_order: int, qlp_precision: int,
                    partition_orders: tuple[int, ...], batch_frames: int = 32,
                    stereo: str = "auto", device: bool = True,
-                   wasted_bits: bool = False,
+                   wasted_bits: bool = False, order_search: str = "estimate",
                    sharding=None) -> dict:
     """Encode interleaved PCM ``[frames, channels]`` into ``f`` (seekable).
 
@@ -57,7 +57,8 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
             sample_rate=sample_rate, bps=bps, channels=channels,
             block_size=block_size, max_lpc_order=max_lpc_order,
             qlp_precision=qlp_precision, partition_orders=partition_orders,
-            stereo=stereo, wasted_bits=wasted_bits)
+            stereo=stereo, wasted_bits=wasted_bits,
+            order_search=order_search)
         enc = BatchEncoder(cfg, batch_frames=batch_frames,
                            sharding=sharding)
         planar = (pcm[: n_full * block_size]

@@ -185,3 +185,11 @@ def test_wasted_bits_detected(rng):
                             wasted_bits=False)
     stream_off, frames_off = roundtrip(pcm24, cfg_off)
     assert sum(map(len, frames)) < 0.9 * sum(map(len, frames_off))
+
+
+@pytest.mark.parametrize("bps", [8, 32])
+def test_extreme_sample_sizes(rng, bps):
+    pcm = make_pcm(rng, 256 * 3, 2, bps, "tonal")
+    cfg = EncoderConfig(block_size=256, max_lpc_order=4, bps=bps,
+                        sample_rate=96000, partition_orders=(0, 1, 2))
+    roundtrip(pcm, cfg)
