@@ -53,7 +53,7 @@ def main() -> None:
                                       serialize_streaminfo)
 
     rng = np.random.default_rng(0xF1AC)
-    n, b = 4608, 128
+    n, b = 4608, 1024
     cfg = EncoderConfig(block_size=n, max_lpc_order=12)
     enc = BatchEncoder(cfg, batch_frames=b)
 
@@ -61,19 +61,29 @@ def main() -> None:
     planar = jnp.asarray(
         pcm.reshape(b, n, 2).transpose(0, 2, 1).astype(np.int32))
 
-    # -- correctness gate: bit-exact round-trip through the strict decoder
+    # -- correctness gate: bit-exact round-trip.  The whole batch decodes
+    # through the batched decoder (native parse + device reconstruction,
+    # CRC-16 verified); a 16-frame sample additionally decodes through the
+    # independent pure-Python strict oracle.
+    from flacx.decoder import decode_array
     result = enc.encode_batch_device(np.asarray(planar), 0)
     lens = np.asarray(result["length"])
     data = np.asarray(result["bytes"])
-    stream = (MAGIC
-              + serialize_metadata_header(True, MetadataBlockType.Streaminfo,
-                                          34)
-              + serialize_streaminfo(Streaminfo(n, n, 0, 0, 44100, 2, 16,
-                                                n * b, bytes(16)))
-              + b"".join(data[i, : lens[i]].tobytes() for i in range(b)))
-    *_, rows = decode_stream(io.BytesIO(stream))
-    got = np.array([r for r in rows], dtype=np.int64)
+
+    def make_stream(k):
+        return (MAGIC
+                + serialize_metadata_header(True,
+                                            MetadataBlockType.Streaminfo, 34)
+                + serialize_streaminfo(Streaminfo(n, n, 0, 0, 44100, 2, 16,
+                                                  n * k, bytes(16)))
+                + b"".join(data[i, : lens[i]].tobytes() for i in range(k)))
+
+    stream = make_stream(b)
+    _, got = decode_array(stream, batch_frames=256)
     assert np.array_equal(got, pcm), "round-trip mismatch — refusing to bench"
+    *_, rows = decode_stream(io.BytesIO(make_stream(16)))
+    got16 = np.array([r for r in rows], dtype=np.int64)
+    assert np.array_equal(got16, pcm[: 16 * n]), "oracle round-trip mismatch"
     ratio = len(stream) / pcm.nbytes * 2  # int32 holds 16-bit samples
 
     # -- steady-state throughput (slope method, queued dispatches)
@@ -94,7 +104,7 @@ def main() -> None:
 
     run(2, 10)            # warm both variants
     t_small = run(3, 100)
-    iters = 33
+    iters = 13
     t_big = run(3 + iters, 200)
     dt = (t_big - t_small) / iters
     samples_per_sec = b * n * 2 / dt
