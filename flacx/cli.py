@@ -132,8 +132,9 @@ def make_argument_parser() -> ArgumentParser:
 
     # flacx extensions (absent from the reference surface)
     encode.add_argument(
-        "--batch-frames", type=int, default=32,
-        help="Frames per device dispatch.", metavar="N")
+        "--batch-frames", type=int, default=256,
+        help="Frames per device dispatch (larger batches amortize "
+             "per-dispatch overhead).", metavar="N")
     encode.add_argument(
         "--stereo", choices=("auto", "independent"), default="auto",
         help="Stereo decorrelation policy (auto searches L/S, S/R, M/S).")
@@ -166,7 +167,7 @@ def make_argument_parser() -> ArgumentParser:
     corpus.add_argument("-r", "--rice-partition-order", type=argparse_range,
                         default=DEFAULT_RICE_PARTITION_ORDER,
                         metavar="[M,]N")
-    corpus.add_argument("--batch-frames", type=int, default=128, metavar="N")
+    corpus.add_argument("--batch-frames", type=int, default=512, metavar="N")
     corpus.add_argument("--stereo", choices=("auto", "independent"),
                         default="auto")
 

@@ -36,7 +36,7 @@ def _oracle_frame(pcm_rows: np.ndarray, index: int, bps: int,
 def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
                    bps: int, channels: int, block_size: int,
                    max_lpc_order: int, qlp_precision: int,
-                   partition_orders: tuple[int, ...], batch_frames: int = 32,
+                   partition_orders: tuple[int, ...], batch_frames: int = 256,
                    stereo: str = "auto", device: bool = True,
                    wasted_bits: bool = False, order_search: str = "estimate",
                    sharding=None) -> dict:
