@@ -37,7 +37,7 @@ from flacx.format import (FIXED_PREDICTOR_TAPS, INDEPENDENT_CHANNELS,
 from flacx.ops import emit, rice
 from flacx.ops.bitpack import pack_symbols
 from flacx.ops.crcfold import crc16_over_rows
-from flacx.ops.fixedpred import fixed_residuals
+from flacx.ops.fixedpred import shift_right_one
 from flacx.ops.headers import frame_header_symbols
 from flacx.ops.lpc import (autocorrelate, levinson_all_orders,
                            lpc_residuals_all, predict_residual,
@@ -198,7 +198,6 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
                             jnp.int32)                           # [5+P]
     i_pos = jnp.arange(n, dtype=jnp.int32)
     wdt = cfg.work_dtype
-    fres = fixed_residuals(x_v.astype(wdt))                     # [B,V,5,N]
 
     if p:
         # f32 windowed signal with f64 accumulation: halves analysis
@@ -216,11 +215,17 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     bps_v64 = bps_v.astype(jnp.int64)                            # [B,V]
     over_warm = cand_orders.astype(jnp.int64) * bps_v64[..., None]
 
-    # candidate size estimates: fixed orders from exact magnitude sums,
-    # LPC orders either the same (order_search="exact") or mapped from the
-    # Levinson error power via E|r| ≈ sqrt(2/π)·σ (order_search="estimate")
-    fmask = i_pos >= cand_orders[:5, None]
-    fzz_sum = jnp.sum(rice.zigzag(fres) * fmask, axis=-1)        # [B,V,5]
+    # candidate size estimates: fixed orders from exact magnitude sums
+    # (incremental diff chain — never materializes the [B,V,5,N] stack),
+    # LPC orders either exact sums (order_search="exact") or mapped from
+    # the Levinson error power via E|r| ≈ sqrt(2/π)·σ ("estimate")
+    fsum_cols = []
+    cur = x_v.astype(wdt)
+    for o in range(5):
+        if o:
+            cur = cur - shift_right_one(cur)
+        fsum_cols.append(jnp.sum(rice.zigzag(cur) * (i_pos >= o), axis=-1))
+    fzz_sum = jnp.stack(fsum_cols, axis=-1)                      # [B,V,5]
     fcounts = (n - cand_orders[:5]).astype(jnp.int64)
     fest = (rice.estimate_bits(fzz_sum, fcounts, cfg.kmax)
             + 8 + over_warm[..., :5])
@@ -252,8 +257,6 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         return {"est": est}
     fixed_bits = jnp.min(est[..., :5], axis=-1)
     fixed_order = jnp.argmin(est[..., :5], axis=-1).astype(jnp.int32)
-    fixed_res = jnp.take_along_axis(
-        fres, fixed_order[..., None, None].astype(jnp.int32), axis=2)[:, :, 0]
     if p:
         lpc_order = (jnp.argmin(est[..., 5:], axis=-1) + 1).astype(jnp.int32)
         lo_idx = (lpc_order - 1)[..., None, None].astype(jnp.int32)
@@ -288,13 +291,12 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     else:
         lpc_bits = jnp.full_like(fixed_bits, _INF)
         lpc_order = jnp.ones_like(fixed_order)
-        lpc_res = fixed_res
+        lpc_res = jnp.zeros((b, nv, n), wdt)
         taps_lpc_v = jnp.zeros((b, nv, 1), jnp.int32)
         shift_lpc_v = jnp.zeros((b, nv), jnp.int32)
         pred_is_lpc = jnp.zeros_like(fixed_bits, bool)
     pred_bits = jnp.minimum(fixed_bits, lpc_bits)
     pred_order = jnp.where(pred_is_lpc, lpc_order, fixed_order)
-    pred_res_v = jnp.where(pred_is_lpc[..., None], lpc_res, fixed_res)
 
     const_ok = jnp.all(x_v == x_v[..., :1], axis=-1)             # [B,V]
     bps_bv = bps_v.astype(jnp.int64)                             # [B,V]
@@ -330,11 +332,17 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     const_sel = gather_v(const_ok)
     f_order = gather_v(fixed_order)
     wasted = gather_v(w_v)                                       # [B,C]
-    res = gather_v(pred_res_v)                                   # [B,C,N] i64
 
-    # chosen taps & shift
-    taps_fix = jnp.asarray(FIXED_PREDICTOR_TAPS)[f_order]        # [B,C,4]
-    taps_fix = jnp.pad(taps_fix, ((0, 0), (0, 0), (0, t - 4)))
+    # chosen taps & residual: the selected fixed residual is recomputed on
+    # the narrow [B, C] domain (cheaper than materializing + gathering the
+    # [B, V, 5, N] stack); the LPC residual is gathered from the single
+    # per-channel best already computed above
+    taps_fix4 = jnp.asarray(FIXED_PREDICTOR_TAPS)[f_order]       # [B,C,4]
+    res_fix = predict_residual(
+        x_sel, taps_fix4, jnp.zeros((b, c), jnp.int32)).astype(wdt)
+    res = jnp.where(is_lpc[..., None], gather_v(lpc_res), res_fix)
+
+    taps_fix = jnp.pad(taps_fix4, ((0, 0), (0, 0), (0, t - 4)))
     if p:
         taps_lpc = gather_v(taps_lpc_v)                          # [B,C,P]
         if t > p:
