@@ -29,7 +29,8 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
                rice_partition_order: range, batch_frames: int,
                stereo: str, device: bool,
                wasted_bits: bool = False,
-               exact_order_search: bool = False) -> None:
+               exact_order_search: bool = False,
+               show_stats: bool = False) -> None:
     from flacx import pipeline
     from flacx.wavio import read_wav
 
@@ -47,7 +48,8 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
             partition_orders=tuple(rice_partition_order),
             batch_frames=batch_frames, stereo=stereo, device=device,
             wasted_bits=wasted_bits,
-            order_search="exact" if exact_order_search else "estimate")
+            order_search="exact" if exact_order_search else "estimate",
+            collect_stats=show_stats)
     time_end = timer()
 
     delta = "{0:.6g}".format(time_end - time_start)
@@ -56,6 +58,9 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
     rt = stats["samples"] / sample_rate / max(time_end - time_start, 1e-9)
     print(f"  {stats['bytes_in']} -> {stats['bytes_out']} bytes "
           f"(ratio {ratio:.3f}), {rt:.1f}x realtime")
+    if show_stats and "stats" in stats:
+        import json
+        print("  " + json.dumps(stats["stats"]))
 
 
 def cmd_decode(path_in: Path, path_out: Path, device: bool = True) -> None:
@@ -142,6 +147,9 @@ def make_argument_parser() -> ArgumentParser:
         "--no-device", action="store_true",
         help="Encode on the host oracle instead of the TPU/XLA pipeline.")
     encode.add_argument(
+        "--stats", action="store_true",
+        help="Print per-run subframe/stereo-mode histograms.")
+    encode.add_argument(
         "--exact-order-search", action="store_true",
         help="Evaluate every LPC order's true integer residual instead of "
              "ranking by prediction error (best compression, slower).")
@@ -213,7 +221,7 @@ def main(argv: list[str] | None = None) -> None:
                    args.max_lpc_order, args.qlp_coeff_precision,
                    args.rice_partition_order, args.batch_frames,
                    args.stereo, not args.no_device,
-                   args.wasted_bits, args.exact_order_search)
+                   args.wasted_bits, args.exact_order_search, args.stats)
 
 
 if __name__ == "__main__":

@@ -444,9 +444,14 @@ class BatchEncoder:
         return self._fn(jnp.asarray(pcm, jnp.int32),
                         jnp.int64(first_index))
 
-    def encode_frames(self, pcm: np.ndarray,
-                      first_index: int) -> list[bytes]:
-        """Encode ``[F, channels, N]`` full blocks into frame byte strings."""
+    def encode_frames(self, pcm: np.ndarray, first_index: int,
+                      stats: dict | None = None) -> list[bytes]:
+        """Encode ``[F, channels, N]`` full blocks into frame byte strings.
+
+        ``stats``, if given, accumulates per-run observability counters
+        (SURVEY.md §5 metrics row): subframe-kind and stereo-mode
+        histograms plus total frame bytes.
+        """
         f = pcm.shape[0]
         out: list[bytes] = []
         bsz = self.batch_frames
@@ -457,6 +462,19 @@ class BatchEncoder:
             result, valid = entry
             data = np.asarray(result["bytes"])
             lens = np.asarray(result["length"])
+            if stats is not None:
+                kinds = np.asarray(result["kind"])[:valid].ravel()
+                kh = stats.setdefault("subframe_kinds", {})
+                for name, code in (("constant", 0), ("verbatim", 1),
+                                   ("fixed", 2), ("lpc", 3)):
+                    kh[name] = kh.get(name, 0) + int((kinds == code).sum())
+                codes = np.asarray(result["channel_code"])[:valid]
+                mh = stats.setdefault("stereo_modes", {})
+                for name, code in (("L/R", 1), ("L/S", 8), ("S/R", 9),
+                                   ("M/S", 10)):
+                    mh[name] = mh.get(name, 0) + int((codes == code).sum())
+                stats["frame_bytes"] = (stats.get("frame_bytes", 0)
+                                        + int(lens[:valid].sum()))
             out.extend(assemble_frames(data[:valid], lens[:valid]))
 
         for start in range(0, f, bsz):

@@ -39,7 +39,7 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
                    partition_orders: tuple[int, ...], batch_frames: int = 256,
                    stereo: str = "auto", device: bool = True,
                    wasted_bits: bool = False, order_search: str = "estimate",
-                   sharding=None) -> dict:
+                   sharding=None, collect_stats: bool = False) -> dict:
     """Encode interleaved PCM ``[frames, channels]`` into ``f`` (seekable).
 
     Returns a stats dict (bytes in/out, frame count, samples).
@@ -64,7 +64,8 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
         planar = (pcm[: n_full * block_size]
                   .reshape(n_full, block_size, channels)
                   .transpose(0, 2, 1).astype(np.int32))
-        writer.write_frames(enc.encode_frames(planar, 0))
+        run_stats: dict | None = {} if collect_stats else None
+        writer.write_frames(enc.encode_frames(planar, 0, stats=run_stats))
     else:
         for i in range(n_full):
             rows = pcm[i * block_size:(i + 1) * block_size]
@@ -79,9 +80,12 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
             partition_orders))
 
     writer.finalize()
-    return {
+    result = {
         "samples": total,
         "frames": n_full + (1 if tail else 0),
         "bytes_in": pcm.shape[0] * channels * (bps // 8),
         "bytes_out": f.tell(),
     }
+    if collect_stats and device and n_full:
+        result["stats"] = run_stats
+    return result
