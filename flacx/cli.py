@@ -30,7 +30,7 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
                stereo: str, device: bool,
                wasted_bits: bool = False,
                exact_order_search: bool = False,
-               show_stats: bool = False) -> None:
+               show_stats: bool = False, best: bool = False) -> None:
     from flacx import pipeline
     from flacx.wavio import read_wav
 
@@ -40,6 +40,22 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
             "subset streams at <= 48 kHz require LPC order <= 12")
 
     time_start = timer()
+    if best:
+        with path_out.open("wb") as f:
+            stats = pipeline.encode_best(
+                f, pcm, sample_rate=sample_rate, bps=bps, channels=channels,
+                max_lpc_order=max_lpc_order,
+                qlp_precision=qlp_coeffs_precision,
+                partition_orders=tuple(rice_partition_order),
+                batch_frames=batch_frames, stereo=stereo,
+                wasted_bits=wasted_bits)
+        time_end = timer()
+        delta = "{0:.6g}".format(time_end - time_start)
+        print(f"Encoding completed in {delta} seconds")
+        ratio = stats["bytes_out"] / max(stats["bytes_in"], 1)
+        print(f"  {stats['bytes_in']} -> {stats['bytes_out']} bytes "
+              f"(ratio {ratio:.3f}), best block size {stats['block_size']}")
+        return
     with path_out.open("wb") as f:
         stats = pipeline.encode_to_file(
             f, pcm, sample_rate=sample_rate, bps=bps, channels=channels,
@@ -147,6 +163,10 @@ def make_argument_parser() -> ArgumentParser:
         "--no-device", action="store_true",
         help="Encode on the host oracle instead of the TPU/XLA pipeline.")
     encode.add_argument(
+        "--best", action="store_true",
+        help="Best-compression sweep: try several block sizes with exact "
+             "order search and keep the smallest (slower).")
+    encode.add_argument(
         "--stats", action="store_true",
         help="Print per-run subframe/stereo-mode histograms.")
     encode.add_argument(
@@ -221,7 +241,8 @@ def main(argv: list[str] | None = None) -> None:
                    args.max_lpc_order, args.qlp_coeff_precision,
                    args.rice_partition_order, args.batch_frames,
                    args.stereo, not args.no_device,
-                   args.wasted_bits, args.exact_order_search, args.stats)
+                   args.wasted_bits, args.exact_order_search, args.stats,
+                   args.best)
 
 
 if __name__ == "__main__":

@@ -89,3 +89,33 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
     if collect_stats and device and n_full:
         result["stats"] = run_stats
     return result
+
+
+def encode_best(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int, bps: int,
+                channels: int,
+                block_sizes: tuple[int, ...] = (1152, 2304, 4608),
+                max_lpc_order: int = 12, qlp_precision: int = 5,
+                partition_orders: tuple[int, ...] = (0, 1, 2, 3, 4, 5),
+                batch_frames: int = 256, stereo: str = "auto",
+                wasted_bits: bool = False) -> dict:
+    """Best-compression sweep (BASELINE configs[4]): encode the file at
+    every candidate block size with exact per-order search and keep the
+    smallest result.  Each candidate is a full device-batched encode; the
+    winner's bytes are written to ``f``.
+    """
+    import io as _io
+
+    best = None
+    for bs in block_sizes:
+        buf = _io.BytesIO()
+        stats = encode_to_file(
+            buf, pcm, sample_rate=sample_rate, bps=bps, channels=channels,
+            block_size=bs, max_lpc_order=max_lpc_order,
+            qlp_precision=qlp_precision, partition_orders=partition_orders,
+            batch_frames=batch_frames, stereo=stereo,
+            wasted_bits=wasted_bits, order_search="exact")
+        if best is None or stats["bytes_out"] < best[1]["bytes_out"]:
+            best = (buf.getvalue(), stats, bs)
+    f.write(best[0])
+    best[1]["block_size"] = best[2]
+    return best[1]

@@ -193,3 +193,19 @@ def test_extreme_sample_sizes(rng, bps):
     cfg = EncoderConfig(block_size=256, max_lpc_order=4, bps=bps,
                         sample_rate=96000, partition_orders=(0, 1, 2))
     roundtrip(pcm, cfg)
+
+
+def test_best_compression_sweep(rng, tmp_path):
+    import io as _io
+
+    from flacx.decoder import decode_array
+    from flacx.pipeline import encode_best
+
+    pcm = make_pcm(rng, 512 * 3 + 64, 2, 16, "tonal")
+    buf = _io.BytesIO()
+    stats = encode_best(buf, pcm, sample_rate=44100, bps=16, channels=2,
+                        block_sizes=(256, 512), max_lpc_order=6,
+                        partition_orders=(0, 1, 2), batch_frames=2)
+    assert stats["block_size"] in (256, 512)
+    si, got = decode_array(buf.getvalue(), batch_frames=4)
+    np.testing.assert_array_equal(got, pcm)
