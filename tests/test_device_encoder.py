@@ -209,3 +209,14 @@ def test_best_compression_sweep(rng, tmp_path):
     assert stats["block_size"] in (256, 512)
     si, got = decode_array(buf.getvalue(), batch_frames=4)
     np.testing.assert_array_equal(got, pcm)
+
+
+def test_multichannel_surround(rng):
+    # 6-channel (5.1) streams: independent coding path, real channel layout
+    pcm = make_pcm(rng, 256 * 3, 6, 16, "tonal")
+    cfg = EncoderConfig(block_size=256, max_lpc_order=4, channels=6,
+                        partition_orders=(0, 1, 2))
+    stream, frames = roundtrip(pcm, cfg)
+    from flacx.decoder import decode_array
+    si, got = decode_array(stream, batch_frames=2)
+    np.testing.assert_array_equal(got, pcm)
