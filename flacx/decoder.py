@@ -50,13 +50,17 @@ def parse_stream_header(data: bytes) -> tuple[Streaminfo, int]:
 
 
 def scan_frame_offsets(data: bytes, first: int,
-                       expect_bs_code_common: bool = True) -> np.ndarray:
+                       block_size: int | None = None) -> np.ndarray:
     """Find frame start offsets via sync + CRC-8 candidate filtering.
 
     Returns byte offsets of validated frame headers in ascending order.
-    Candidates failing the chain (wrong/duplicate coded numbers) are
-    resolved conservatively; ambiguity raises so the caller can fall back
-    to sequential decoding.
+    A candidate survives only if its header parses and its CRC-8 matches
+    (a ~2^-30 false-positive filter); survivors are chained by their coded
+    frame/sample numbers.  The first frame may carry any starting number
+    (a stream cut mid-file still batch-decodes).  Any duplicated coded
+    number among candidates means a CRC-8-passing false sync exists and
+    the chain cannot be trusted — that raises, and the caller falls back
+    to the strict sequential decoder.
     """
     import flacx.coded_number as cn
 
@@ -66,6 +70,7 @@ def scan_frame_offsets(data: bytes, first: int,
 
     offsets: list[int] = []
     numbers: list[int] = []
+    strategies: list[int] = []
     for off in cand.tolist():
         # parse the variable-length header to find its CRC-8
         b0 = arr[off + 4]
@@ -91,16 +96,33 @@ def scan_frame_offsets(data: bytes, first: int,
             continue
         offsets.append(off)
         numbers.append(number)
+        strategies.append(int(arr[off + 1]) & 1)
 
-    # chain by frame number: accept the first candidate carrying the next
-    # expected index (false positives either carry a wrong number or break
-    # the count check downstream, which falls back to sequential decode)
+    if not offsets:
+        return np.asarray([], np.int64)
+    if len(set(numbers)) != len(numbers):
+        raise FlacFormatError(
+            "duplicate coded frame numbers among sync candidates "
+            "(CRC-8-passing false sync) — batch offset scan is ambiguous")
+    if len(set(strategies)) != 1:
+        raise FlacFormatError("mixed blocking strategies among candidates")
+
+    # chain by coded number: fixed blocking counts frames (+1), variable
+    # blocking counts samples (+block_size); start from the first
+    # candidate's own number
+    stride = 1
+    if strategies[0] == 1:
+        if block_size is None:
+            raise FlacFormatError("variable blocking needs block_size")
+        stride = block_size
     chain: list[int] = []
+    expected = numbers[0]
     last_off = first - 1
     for off, num in zip(offsets, numbers):
-        if num == len(chain) and off > last_off:
+        if num == expected and off > last_off:
             chain.append(off)
             last_off = off
+            expected += stride
     return np.asarray(chain, np.int64)
 
 
@@ -117,7 +139,7 @@ def decode_array(data: bytes, batch_frames: int = 256,
         return streaminfo, _decode_sequential(data, streaminfo)
 
     try:
-        offsets = scan_frame_offsets(data, first)
+        offsets = scan_frame_offsets(data, first, block_size=n)
     except FlacFormatError:
         return streaminfo, _decode_sequential(data, streaminfo)
 
@@ -128,15 +150,18 @@ def decode_array(data: bytes, batch_frames: int = 256,
 
     out = np.zeros((total, c), np.int64)
     ends = np.append(offsets[1:], len(data))
+    arr = np.frombuffer(data, np.uint8)
 
-    # full-size frames via the batch path
+    # full-size frames via the batch path; any inconsistency (CRC-16
+    # mismatch from a displaced boundary, parse error) means the offset
+    # scan was fooled, NOT that the stream is bad — fall back to the
+    # strict sequential decoder, which re-validates everything
     for lo in range(0, n_full, batch_frames):
         hi = min(lo + batch_frames, n_full)
         batch_off = offsets[lo:hi]
         batch_end = ends[lo:hi]
         width = int((batch_end - batch_off).max())
         rows = np.zeros((hi - lo, width), np.uint8)
-        arr = np.frombuffer(data, np.uint8)
         for i, (o, e) in enumerate(zip(batch_off, batch_end)):
             rows[i, : e - o] = arr[o:e]
         if verify_crc:
@@ -147,8 +172,11 @@ def decode_array(data: bytes, batch_frames: int = 256,
                        << 8)
                       | rows[np.arange(hi - lo), lens - 1])
             if not np.array_equal(crcs, stored.astype(np.uint16)):
-                raise FlacFormatError("frame CRC-16 mismatch")
-        pcm = _decode_rows(rows, n, c, streaminfo.sample_size)
+                return streaminfo, _decode_sequential(data, streaminfo)
+        try:
+            pcm = _decode_rows(rows, n, c, streaminfo.sample_size)
+        except ValueError:
+            return streaminfo, _decode_sequential(data, streaminfo)
         out[lo * n: hi * n] = pcm.reshape(-1, c)
 
     # short final frame via the oracle

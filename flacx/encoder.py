@@ -444,6 +444,17 @@ class BatchEncoder:
         return self._fn(jnp.asarray(pcm, jnp.int32),
                         jnp.int64(first_index))
 
+    def encode_batch_indexed(self, pcm: np.ndarray,
+                             frame_indices: np.ndarray) -> dict:
+        """Run the device pipeline with a per-frame coded-number array.
+
+        Corpus mode mixes frames of many files in one dispatch; each frame
+        carries its own index.  ``pcm`` int32 ``[B, channels, N]``,
+        ``frame_indices`` int64 ``[B]``.
+        """
+        return self._fn(jnp.asarray(pcm, jnp.int32),
+                        jnp.asarray(frame_indices, jnp.int64))
+
     def encode_frames(self, pcm: np.ndarray, first_index: int,
                       stats: dict | None = None) -> list[bytes]:
         """Encode ``[F, channels, N]`` full blocks into frame byte strings.

@@ -228,6 +228,11 @@ def parse_frames_numpy(data: np.ndarray, start_bits: np.ndarray,
         is_verb = type_code == 1
         is_fixed = (type_code >= 0b001000) & (type_code <= 0b001100)
         is_lpc = type_code >= 0b100000
+        reserved = ~(is_const | is_verb | is_fixed | is_lpc)
+        if reserved.any():
+            raise ValueError(
+                f"reserved subframe type code in row "
+                f"{int(np.nonzero(reserved)[0][0])}")
         k = np.where(is_const, 0, np.where(is_verb, 1,
                                            np.where(is_fixed, 2, 3)))
         o = np.where(is_fixed, type_code & 7,
@@ -247,8 +252,16 @@ def parse_frames_numpy(data: np.ndarray, start_bits: np.ndarray,
             residual[sel, c, t] = v[sel]
 
         # LPC meta + coefficients
-        prec = r.read(np.where(is_lpc, 4, 0)) + 1
-        shift[:, c] = r.read_signed(np.where(is_lpc, 5, 0))
+        prec_code = r.read(np.where(is_lpc, 4, 0))
+        if (is_lpc & (prec_code == 15)).any():
+            raise ValueError("invalid LPC precision code 15")
+        prec = prec_code + 1
+        sh = r.read_signed(np.where(is_lpc, 5, 0))
+        # the shift field is coded signed but RFC 9639 forbids negatives;
+        # a negative value reaching jnp.right_shift would be undefined
+        if (is_lpc & (sh < 0)).any():
+            raise ValueError("negative LPC shift (forbidden by RFC 9639)")
+        shift[:, c] = sh
         for t in range(32):
             v = r.read_signed(np.where(is_lpc & (t < o), prec, 0))
             sel = is_lpc & (t < o)
@@ -259,8 +272,13 @@ def parse_frames_numpy(data: np.ndarray, start_bits: np.ndarray,
         # residual coding
         pred = k >= 2
         method = r.read(np.where(pred, 2, 0))
+        if (pred & (method > 1)).any():
+            raise ValueError("reserved residual coding method")
         width = np.where(method == 0, 4, 5)
         po = r.read(np.where(pred, 4, 0))
+        bad_po = pred & ((n % (1 << po) != 0) | ((n >> po) <= o))
+        if bad_po.any():
+            raise ValueError("invalid Rice partition order for block size")
         psize = np.where(pred, n >> po, n).astype(np.int64)
         escape_val = (1 << width) - 1
 

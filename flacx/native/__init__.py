@@ -22,12 +22,17 @@ def lib() -> ctypes.CDLL | None:
     if _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists():
+    src = Path(__file__).parent / "hostops.cc"
+    stale = (not _LIB_PATH.exists()
+             or (src.exists()
+                 and src.stat().st_mtime > _LIB_PATH.stat().st_mtime))
+    if stale:
         try:
             from flacx.native.build import build
             build()
         except Exception:
-            return None
+            if not _LIB_PATH.exists():
+                return None
     try:
         cdll = ctypes.CDLL(str(_LIB_PATH))
         cdll.flacx_assemble_frames.restype = ctypes.c_int64

@@ -221,7 +221,12 @@ int64_t flacx_parse_frames(const uint8_t* data, int64_t n_rows,
                 int prec = static_cast<int>(cur.read(4));
                 if (prec == 15) return r + 1;
                 ++prec;
-                shift[sub] = static_cast<int32_t>(cur.read_signed(5));
+                // the shift field is coded signed but RFC 9639 forbids
+                // negative values (reference reads it unchecked,
+                // flac/decoder.py:303)
+                int64_t sh = cur.read_signed(5);
+                if (sh < 0) return r + 1;
+                shift[sub] = static_cast<int32_t>(sh);
                 for (int i = 0; i < o; ++i)
                     tp[i] = static_cast<int32_t>(cur.read_signed(prec));
             } else {

@@ -43,6 +43,20 @@ def encode_corpus(paths: Sequence[Path | str], out_dir: Path | str, *,
     out_dir.mkdir(parents=True, exist_ok=True)
     result = CorpusResult()
 
+    # ---- assign output names upfront; same-stem inputs from different
+    # directories (a/x.wav, b/x.wav) get disambiguated instead of silently
+    # overwriting each other
+    out_paths: dict[Path, Path] = {}
+    used_names: set[str] = set()
+    for path in map(Path, paths):
+        name = path.stem + ".flac"
+        k = 1
+        while name in used_names:
+            name = f"{path.stem}-{k}.flac"
+            k += 1
+        used_names.add(name)
+        out_paths[path] = out_dir / name
+
     # ---- load and bucket by stream parameters -----------------------------
     buckets: dict[tuple, list[tuple[Path, np.ndarray]]] = {}
     for path in map(Path, paths):
@@ -89,7 +103,7 @@ def encode_corpus(paths: Sequence[Path | str], out_dir: Path | str, *,
                                          np.int32)])
                 idx_batch = np.concatenate(
                     [idx_batch, np.zeros(b - valid, np.int64)])
-            out = enc._fn(pcm_batch, idx_batch)
+            out = enc.encode_batch_indexed(pcm_batch, idx_batch)
             data = np.asarray(out["bytes"])
             lens = np.asarray(out["length"])
             for r, (f, i) in enumerate(chunk):
@@ -97,7 +111,7 @@ def encode_corpus(paths: Sequence[Path | str], out_dir: Path | str, *,
 
         # ---- per-file assembly ------------------------------------------
         for file_no, (path, pcm) in enumerate(files):
-            out_path = out_dir / (path.stem + ".flac")
+            out_path = out_paths[path]
             total = pcm.shape[0]
             n_full = total // block_size
             tail = total - n_full * block_size

@@ -118,3 +118,169 @@ def test_native_parser_matches_numpy(rng):
         np.testing.assert_array_equal(getattr(a, name), getattr(b, name),
                                       err_msg=name)
     np.testing.assert_array_equal(a.taps[..., :32], b.taps[..., :32])
+
+
+# ---------------------------------------------------------------------------
+# Adversarial / robustness (VERDICT round-1 item 3)
+
+
+def test_adversarial_fake_sync_falls_back_bit_exact(rng):
+    """A CRC-8-valid fake frame header embedded in a verbatim payload must
+    not displace real frame boundaries: the scan detects the duplicate
+    coded number, raises, and decode falls back to sequential — bit-exact.
+    """
+    from flacx.decoder import FlacFormatError
+    from flacx.encoder import BatchEncoder, EncoderConfig
+    from flacx.format import MAGIC, MetadataBlockType, Streaminfo
+    from flacx.oracle.encoder import (serialize_metadata_header,
+                                      serialize_streaminfo)
+
+    n = 256
+
+    def encode_device(pcm):
+        # exact-size selection picks VERBATIM for full-range uniform noise,
+        # so the payload bytes are the raw samples (byte-aligned for mono)
+        cfg = EncoderConfig(block_size=n, max_lpc_order=6, channels=1,
+                            partition_orders=(0, 1, 2))
+        enc = BatchEncoder(cfg, batch_frames=3)
+        planar = pcm.reshape(3, n, 1).transpose(0, 2, 1).astype(np.int32)
+        return (MAGIC
+                + serialize_metadata_header(True,
+                                            MetadataBlockType.Streaminfo, 34)
+                + serialize_streaminfo(Streaminfo(n, n, 0, 0, 44100, 1, 16,
+                                                  3 * n, bytes(16)))
+                + b"".join(enc.encode_frames(planar, 0)))
+
+    pcm = rng.integers(-32768, 32767, size=(n * 3, 1)).astype(np.int32)
+    data = encode_device(pcm)
+    si, first = parse_stream_header(data)
+    offsets = scan_frame_offsets(data, first)
+    assert len(offsets) == 3
+    hdr1 = data[offsets[1]: offsets[1] + 6]      # frame 1's header + CRC-8
+    assert hdr1[:2] == b"\xff\xf8"
+
+    # embed frame 1's header bytes into frame 0's PCM
+    vals = np.frombuffer(hdr1, ">i2").astype(np.int32)
+    pcm2 = pcm.copy()
+    pcm2[10:13, 0] = vals
+    data2 = encode_device(pcm2)
+    assert data2.count(hdr1) >= 2, "fake sync was not embedded verbatim"
+
+    si2, first2 = parse_stream_header(data2)
+    with pytest.raises(FlacFormatError):
+        scan_frame_offsets(data2, first2)
+    _, got = decode_array(data2)
+    np.testing.assert_array_equal(got, pcm2)
+
+
+def test_nonzero_first_frame_number(rng, monkeypatch):
+    """A stream cut mid-file (first coded number != 0) batch-decodes."""
+    import flacx.decoder as dec
+    from flacx.format import MAGIC, MetadataBlockType, Streaminfo
+    from flacx.oracle.encoder import (serialize_metadata_header,
+                                      serialize_streaminfo)
+
+    n = 512
+    pcm = make_pcm(rng, n * 6, 2, 16, "tonal")
+    data = encode_bytes(pcm, block_size=n)
+    si, first = parse_stream_header(data)
+    offsets = scan_frame_offsets(data, first)
+    cut = (MAGIC
+           + serialize_metadata_header(True, MetadataBlockType.Streaminfo, 34)
+           + serialize_streaminfo(Streaminfo(n, n, 0, 0, 44100, 2, 16,
+                                             3 * n, bytes(16)))
+           + data[offsets[3]:])
+
+    def no_fallback(*a, **k):
+        raise AssertionError("batch path should not have fallen back")
+
+    monkeypatch.setattr(dec, "_decode_sequential", no_fallback)
+    _, got = dec.decode_array(cut)
+    np.testing.assert_array_equal(got, pcm[3 * n:])
+
+
+def test_crc16_mismatch_falls_back_not_raise(rng, monkeypatch):
+    """Displaced boundaries from a fooled scan must fall back to the
+    sequential decoder (which is always correct), never raise on a valid
+    stream."""
+    import flacx.decoder as dec
+
+    n = 512
+    pcm = make_pcm(rng, n * 4, 2, 16, "tonal")
+    data = encode_bytes(pcm, block_size=n)
+    real_scan = dec.scan_frame_offsets
+
+    def displaced(d, first, **kw):
+        off = real_scan(d, first, **kw)
+        off = off.copy()
+        off[2] += 7          # displace one boundary -> CRC-16 mismatch
+        return off
+
+    monkeypatch.setattr(dec, "scan_frame_offsets", displaced)
+    _, got = dec.decode_array(data)
+    np.testing.assert_array_equal(got, pcm)
+
+
+# ---------------------------------------------------------------------------
+# Crafted-stream validation (ADVICE round-1: reserved types, negative
+# shift, invalid partition order must raise, not decode garbage)
+
+
+def _craft_frame_row(subframe_bits, n_pad=64):
+    """Minimal mono frame header + crafted subframe bit fields."""
+    from flacx.bitio import BitWriter
+
+    w = BitWriter()
+    w.write_uint(0xFFF8, 16)
+    w.write_uint(8, 4)       # block size code (256)
+    w.write_uint(9, 4)       # sample rate code (44100)
+    w.write_uint(0, 4)       # mono
+    w.write_uint(4, 3)       # 16-bit
+    w.write_uint(0, 1)
+    w.write_uint(0, 8)       # coded number 0
+    w.write_uint(0, 8)       # header CRC (parsers don't re-check)
+    for value, nbits in subframe_bits:
+        w.write_uint(value & ((1 << nbits) - 1), nbits)
+    w.write_uint(0, n_pad)
+    w.pad_to_byte()
+    row = np.frombuffer(w.getvalue(), np.uint8)
+    return row[None, :].copy()
+
+
+@pytest.mark.parametrize("case,fields", [
+    ("reserved_type_2", [(0, 1), (2, 6), (0, 1)]),
+    ("reserved_type_13", [(0, 1), (13, 6), (0, 1)]),
+    ("negative_lpc_shift", [(0, 1), (32, 6), (0, 1),     # LPC order 1
+                            (123, 16),                   # warmup
+                            (4, 4), (0b11111, 5)]),      # prec, shift=-1
+    ("reserved_method", [(0, 1), (8, 6), (0, 1),         # fixed order 0
+                         (2, 2), (0, 4)]),               # method 2
+    ("lpc_precision_15", [(0, 1), (32, 6), (0, 1),
+                          (123, 16), (15, 4)]),
+])
+def test_crafted_stream_validation(case, fields):
+    from flacx.hostdec import parse_frames_numpy, _parse_frames_native
+    import flacx.native as native
+
+    row = _craft_frame_row(fields)
+    start = np.zeros(1, np.int64)
+    with pytest.raises(ValueError):
+        parse_frames_numpy(row, start, 256, 1, 16)
+    if native.lib() is not None:
+        with pytest.raises(ValueError):
+            _parse_frames_native(row, start, 256, 1, 16)
+
+
+def test_crafted_invalid_partition_order():
+    # fixed order 0, method 0, partition order 3 with block 100 (100 % 8 != 0)
+    from flacx.hostdec import parse_frames_numpy, _parse_frames_native
+    import flacx.native as native
+
+    fields = [(0, 1), (8, 6), (0, 1), (0, 2), (3, 4)]
+    row = _craft_frame_row(fields, n_pad=512)
+    start = np.zeros(1, np.int64)
+    with pytest.raises(ValueError):
+        parse_frames_numpy(row, start, 100, 1, 16)
+    if native.lib() is not None:
+        with pytest.raises(ValueError):
+            _parse_frames_native(row, start, 100, 1, 16)

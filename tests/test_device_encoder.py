@@ -220,3 +220,30 @@ def test_multichannel_surround(rng):
     from flacx.decoder import decode_array
     si, got = decode_array(stream, batch_frames=2)
     np.testing.assert_array_equal(got, pcm)
+
+
+def test_corpus_stem_collision(rng, tmp_path):
+    """Same-stem inputs from different directories must not overwrite."""
+    from flacx.decoder import decode_array
+    from flacx.parallel.corpus import encode_corpus
+    from flacx.wavio import write_wav
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    pcm_a = make_pcm(rng, 256 * 2, 2, 16, "tonal")
+    pcm_b = make_pcm(rng, 256 * 3, 2, 16, "noise")
+    write_wav(tmp_path / "a" / "x.wav", 44100, 16, pcm_a)
+    write_wav(tmp_path / "b" / "x.wav", 44100, 16, pcm_b)
+
+    result = encode_corpus([tmp_path / "a" / "x.wav",
+                            tmp_path / "b" / "x.wav"],
+                           tmp_path / "out", block_size=256,
+                           max_lpc_order=6, partition_orders=(0, 1, 2),
+                           batch_frames=4)
+    assert not result.failed
+    assert len(set(result.encoded)) == 2
+    decoded = sorted(
+        (decode_array(p.read_bytes())[1] for p in result.encoded),
+        key=lambda a: a.shape[0])
+    np.testing.assert_array_equal(decoded[0], pcm_a)
+    np.testing.assert_array_equal(decoded[1], pcm_b)
