@@ -247,3 +247,18 @@ def test_corpus_stem_collision(rng, tmp_path):
         key=lambda a: a.shape[0])
     np.testing.assert_array_equal(decoded[0], pcm_a)
     np.testing.assert_array_equal(decoded[1], pcm_b)
+
+
+def test_flagship_shape_4608_lpc12(rng):
+    """The production 4608/LPC-12 shape compiles + round-trips in CI
+    (VERDICT round-1: a shape-dependent regression could previously slip
+    past the small-block tests).  Slow on first run, then compile-cached.
+    """
+    pcm = make_pcm(rng, 4608 * 3, 2, 16, "tonal")
+    cfg = EncoderConfig(block_size=4608, max_lpc_order=12,
+                        partition_orders=(0, 1, 2, 3, 4, 5))
+    stream, frames = roundtrip(pcm, cfg, batch=3)
+    # the flagship config must also survive the batched decoder
+    from flacx.decoder import decode_array
+    _, got = decode_array(stream, batch_frames=3)
+    np.testing.assert_array_equal(got, pcm[: 3 * 4608])
