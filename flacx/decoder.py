@@ -65,8 +65,13 @@ def scan_frame_offsets(data: bytes, first: int,
     import flacx.coded_number as cn
 
     arr = np.frombuffer(data, np.uint8)
-    cand = np.nonzero((arr[first:-16] == 0xFF)
-                      & ((arr[first + 1:-15] & 0xFE) == 0xF8))[0] + first
+    # a frame needs >= 6 header bytes + subframe + CRC-16 after the sync;
+    # tiny final frames (e.g. all-constant silence) sit close to the end
+    lim = len(arr) - 6
+    if lim <= first:
+        return np.asarray([], np.int64)
+    cand = np.nonzero((arr[first:lim] == 0xFF)
+                      & ((arr[first + 1:lim + 1] & 0xFE) == 0xF8))[0] + first
 
     offsets: list[int] = []
     numbers: list[int] = []
@@ -126,6 +131,112 @@ def scan_frame_offsets(data: bytes, first: int,
     return np.asarray(chain, np.int64)
 
 
+#: jit cache for the fused device decode pipeline, keyed on every static
+#: that shapes the program (block size, channels, bps, checkpoint
+#: interval, row width bucket is implicit in the traced shapes).
+_DEVICE_FNS: dict = {}
+
+
+def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
+                      use_i32: bool, verify_crc: bool):
+    """Build (and cache) the jitted rows→PCM decode pipeline.
+
+    One fused XLA program: byte rows → u32 words → parallel bit-unpack
+    (``flacx.ops.bitunpack``) → warmup/constant merge → IIR
+    reconstruction → stereo undecorrelation → wasted-bits restore →
+    device CRC-16 verification (``flacx.ops.crcfold``).
+    """
+    key = (n, c, bps, s, t, use_i32, verify_crc)
+    if key in _DEVICE_FNS:
+        return _DEVICE_FNS[key]
+    import jax
+    import jax.numpy as jnp
+
+    from flacx.ops.bitunpack import bytes_to_words, parse_residual_chunks
+    from flacx.ops.crcfold import crc16_over_rows
+    from flacx.ops.reconstruct import (reconstruct_predicted,
+                                       undo_decorrelation)
+
+    def fn(rows, lens, channel_code, kind, order, shift, wasted, po, width,
+           taps, warmup, const_val, ckpt_pos, ckpt_param, ckpt_esc,
+           ckpt_inesc):
+        words = bytes_to_words(rows)
+        vals, err = parse_residual_chunks(
+            words, ckpt_pos, ckpt_param, ckpt_esc, ckpt_inesc, kind, order,
+            po, width, n, s)
+        i = jnp.arange(n, dtype=jnp.int32)
+        warm = warmup[..., : min(32, n)]
+        if n > warm.shape[-1]:
+            warm = jnp.pad(warm,
+                           ((0, 0), (0, 0), (0, n - warm.shape[-1])))
+        res = jnp.where(i < order[..., None], warm, vals)
+        res = jnp.where((kind == 0)[..., None], const_val[..., None], res)
+        if use_i32:
+            # int32 reconstruction is only exact while values stay small;
+            # anomalously large residuals punt the batch to the i64 host
+            # path via the error flag
+            err = err | jnp.any(jnp.abs(vals) > (1 << min(bps + 3, 29)))
+        x = reconstruct_predicted(
+            res, taps[:, :, :t], shift, order,
+            dtype=jnp.int32 if use_i32 else jnp.int64)
+        x = x << wasted[..., None].astype(jnp.int64)
+        if c == 2:
+            left, right = undo_decorrelation(x[:, 0], x[:, 1], channel_code)
+            x = jnp.stack([left, right], axis=1)
+        pcm = jnp.transpose(x, (0, 2, 1)).astype(jnp.int32)
+        if verify_crc:
+            pos = jnp.arange(rows.shape[1], dtype=jnp.int32)
+            body = jnp.where(pos[None, :] >= (lens - 2)[:, None],
+                             jnp.uint8(0), rows)
+            crc = crc16_over_rows(body, lens - 2)
+            idx = jnp.stack([lens - 2, lens - 1], axis=1).astype(jnp.int32)
+            stored = jnp.take_along_axis(rows, idx, axis=1)\
+                .astype(jnp.uint32)
+            crc_ok = jnp.all(crc.astype(jnp.uint32)
+                             == ((stored[:, 0] << 8) | stored[:, 1]))
+        else:
+            crc_ok = jnp.asarray(True)
+        return pcm, err, crc_ok
+
+    _DEVICE_FNS[key] = jax.jit(fn)
+    return _DEVICE_FNS[key]
+
+
+def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
+                        bps: int, verify_crc: bool):
+    """TPU decode path: C++ structure walk + device bit-unpack/reconstruct.
+
+    Returns the device PCM array ``[F, n, c]`` (int32, still on device),
+    None when unavailable or when the device parser flagged an error
+    (caller falls back), and raises ValueError on malformed streams.
+    """
+    from flacx.native import scan_frames
+
+    f = rows.shape[0]
+    scan = scan_frames(rows, np.zeros(f, np.int64), n, c, bps)
+    if scan is None:
+        return None
+
+    # taps-window bucket and the int32-reconstruction eligibility are
+    # batch-level statics (tiny host reductions over walker outputs)
+    max_order = int(scan.order.max()) if scan.order.size else 0
+    t = next(b for b in (4, 8, 12, 16, 32) if b >= max(4, max_order))
+    sum_abs = int(np.abs(scan.taps).sum(-1).max()) if scan.taps.size else 0
+    eff_max = bps + (1 if c == 2 else 0)
+    use_i32 = eff_max + max(sum_abs, 1).bit_length() + 2 <= 31
+
+    fn = _device_decode_fn(n, c, bps, scan.ckpt_interval, t, use_i32,
+                           verify_crc)
+    pcm, err, crc_ok = fn(
+        rows, lens.astype(np.int32), scan.channel_code, scan.kind,
+        scan.order, scan.shift, scan.wasted, scan.po, scan.width, scan.taps,
+        scan.warmup, scan.const_val, scan.ckpt_pos, scan.ckpt_param,
+        scan.ckpt_esc, scan.ckpt_inesc)
+    if bool(err) or not bool(crc_ok):
+        return None
+    return pcm
+
+
 def decode_array(data: bytes, batch_frames: int = 256,
                  verify_crc: bool = True, device: bool = True) -> tuple[
                      Streaminfo, np.ndarray]:
@@ -160,13 +271,28 @@ def decode_array(data: bytes, batch_frames: int = 256,
         hi = min(lo + batch_frames, n_full)
         batch_off = offsets[lo:hi]
         batch_end = ends[lo:hi]
-        width = int((batch_end - batch_off).max())
+        lens = (batch_end - batch_off).astype(np.int64)
+        # row width bucketed to limit jit variants across batches
+        width = (int(lens.max()) + 255) // 256 * 256
         rows = np.zeros((hi - lo, width), np.uint8)
         for i, (o, e) in enumerate(zip(batch_off, batch_end)):
             rows[i, : e - o] = arr[o:e]
+
+        # 1) full device path: C++ structure walk + on-device bit-unpack,
+        #    reconstruction and CRC-16
+        try:
+            dev = _decode_rows_device(rows, lens, n, c,
+                                      streaminfo.sample_size, verify_crc)
+        except ValueError:
+            return streaminfo, _decode_sequential(data, streaminfo)
+        if dev is not None:
+            out[lo * n: hi * n] = np.asarray(dev).reshape(-1, c)
+            continue
+
+        # 2) host-parse path (native/numpy full parser + device
+        #    reconstruction)
         if verify_crc:
             from flacx.native import crc16_rows
-            lens = (batch_end - batch_off).astype(np.int64)
             crcs = crc16_rows(rows, (lens - 2).astype(np.int32))
             stored = ((rows[np.arange(hi - lo), lens - 2].astype(np.uint16)
                        << 8)

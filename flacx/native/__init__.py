@@ -119,3 +119,81 @@ def pack24(samples: np.ndarray) -> bytes:
     out = np.empty(flat.size * 3, np.uint8)
     cdll.flacx_pack24(flat.ctypes.data, flat.size, out.ctypes.data)
     return out.tobytes()
+
+
+class ScannedFrames:
+    """Structure-of-arrays output of the C++ walker (device decode path)."""
+
+    __slots__ = ("channel_code", "kind", "order", "shift", "wasted", "po",
+                 "width", "taps", "warmup", "const_val", "ckpt_pos",
+                 "ckpt_param", "ckpt_esc", "ckpt_inesc", "end_bits",
+                 "ckpt_interval")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def scan_frames(data: np.ndarray, start_bits: np.ndarray, block_size: int,
+                channels: int, bps: int,
+                ckpt_interval: int = 64) -> "ScannedFrames | None":
+    """Run the C++ structure walker over a batch of equal-size frames.
+
+    Parses headers/taps/warmup and checkpoints the residual bit cursor
+    every ``ckpt_interval`` samples; residual VALUES are decoded on the
+    device (flacx/ops/bitunpack.py).  Returns None when the native
+    library is unavailable; raises ValueError on malformed input.
+    """
+    import ctypes
+
+    cdll = lib()
+    if cdll is None or not hasattr(cdll, "flacx_scan_frames"):
+        return None
+    f = data.shape[0]
+    n, c, s = block_size, channels, ckpt_interval
+    k = (n + s - 1) // s
+    data = np.ascontiguousarray(data, np.uint8)
+    start = np.ascontiguousarray(start_bits, np.int64)
+    out = ScannedFrames(
+        channel_code=np.zeros(f, np.int32),
+        kind=np.zeros((f, c), np.int32),
+        order=np.zeros((f, c), np.int32),
+        shift=np.zeros((f, c), np.int32),
+        wasted=np.zeros((f, c), np.int32),
+        po=np.zeros((f, c), np.int32),
+        width=np.zeros((f, c), np.int32),
+        taps=np.zeros((f, c, 32), np.int32),
+        warmup=np.zeros((f, c, 32), np.int64),
+        const_val=np.zeros((f, c), np.int64),
+        ckpt_pos=np.zeros((f, c, k), np.int32),
+        ckpt_param=np.zeros((f, c, k), np.int32),
+        ckpt_esc=np.zeros((f, c, k), np.int32),
+        ckpt_inesc=np.zeros((f, c, k), np.int32),
+        end_bits=np.zeros(f, np.int64),
+        ckpt_interval=s)
+
+    cdll.flacx_scan_frames.restype = ctypes.c_int64
+    rc = cdll.flacx_scan_frames(
+        ctypes.c_void_p(data.ctypes.data), ctypes.c_int64(f),
+        ctypes.c_int64(data.shape[1]),
+        ctypes.c_void_p(start.ctypes.data),
+        ctypes.c_int32(n), ctypes.c_int32(c), ctypes.c_int32(bps),
+        ctypes.c_int32(s),
+        ctypes.c_void_p(out.channel_code.ctypes.data),
+        ctypes.c_void_p(out.kind.ctypes.data),
+        ctypes.c_void_p(out.order.ctypes.data),
+        ctypes.c_void_p(out.shift.ctypes.data),
+        ctypes.c_void_p(out.wasted.ctypes.data),
+        ctypes.c_void_p(out.po.ctypes.data),
+        ctypes.c_void_p(out.width.ctypes.data),
+        ctypes.c_void_p(out.taps.ctypes.data),
+        ctypes.c_void_p(out.warmup.ctypes.data),
+        ctypes.c_void_p(out.const_val.ctypes.data),
+        ctypes.c_void_p(out.ckpt_pos.ctypes.data),
+        ctypes.c_void_p(out.ckpt_param.ctypes.data),
+        ctypes.c_void_p(out.ckpt_esc.ctypes.data),
+        ctypes.c_void_p(out.ckpt_inesc.ctypes.data),
+        ctypes.c_void_p(out.end_bits.ctypes.data))
+    if rc != 0:
+        raise ValueError(f"frame scan error in row {int(rc) - 1}")
+    return out

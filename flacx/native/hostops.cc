@@ -269,3 +269,247 @@ int64_t flacx_parse_frames(const uint8_t* data, int64_t n_rows,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Structure walker: the host half of the TPU decode path.
+//
+// Parses frame/subframe headers, warmup samples and LPC coefficients, then
+// WALKS the residual symbols (one clz per Rice code, no value extraction,
+// no stores) emitting a checkpoint of the bit cursor + partition state
+// every `ckpt_interval` samples.  The device kernel (flacx/ops/bitunpack.py)
+// then decodes all chunks of a batch in parallel from the checkpoints.
+// Replaces the value-extracting serial parse for the hot path; grammar per
+// RFC 9639 (reference decode loop: flac/decoder.py:358-421).
+
+namespace {
+
+struct FastCursor {
+    const uint8_t* d;
+    int64_t nbytes;
+    int64_t pos;  // bit offset
+
+    inline uint64_t win() const {
+        // 64 bits starting at pos (MSB-first), zero-padded past the end
+        const int64_t b = pos >> 3;
+        uint64_t w;
+        if (b + 9 <= nbytes) {
+            std::memcpy(&w, d + b, 8);
+            w = __builtin_bswap64(w);
+            const int sh = static_cast<int>(pos & 7);
+            if (sh) w = (w << sh) | (d[b + 8] >> (8 - sh));
+        } else {
+            w = 0;
+            for (int i = 0; i < 8; ++i)
+                w = (w << 8) | (b + i < nbytes ? d[b + i] : 0);
+            const int sh = static_cast<int>(pos & 7);
+            if (sh) {
+                const uint64_t nb = (b + 8 < nbytes) ? d[b + 8] : 0;
+                w = (w << sh) | (nb >> (8 - sh));
+            }
+        }
+        return w;
+    }
+
+    inline uint64_t read(int n) {
+        if (n == 0) return 0;
+        const uint64_t v = win() >> (64 - n);
+        pos += n;
+        return v;
+    }
+
+    inline int64_t read_signed(int n) {
+        if (n == 0) return 0;
+        int64_t x = static_cast<int64_t>(read(n));
+        if (x >> (n - 1)) x -= (int64_t(1) << n);
+        return x;
+    }
+
+    inline int64_t read_unary() {
+        int64_t q = 0;
+        for (;;) {
+            const uint64_t w = win();
+            if (w == 0) {
+                q += 64;
+                pos += 64;
+                if (pos > nbytes * 8 + 64) return -1;  // corrupt
+                continue;
+            }
+            const int lz = __builtin_clzll(w);
+            pos += lz + 1;
+            return q + lz;
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, (row + 1) on a parse error in that row.
+// K = (block_size + ckpt_interval - 1) / ckpt_interval checkpoints per
+// subframe; checkpoint j state is the cursor BEFORE any partition
+// parameter field read at sample j*ckpt_interval.
+int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
+                          int64_t row_stride, const int64_t* start_bits,
+                          int32_t block_size, int32_t channels, int32_t bps,
+                          int32_t ckpt_interval,
+                          int32_t* channel_code,          // [F]
+                          int32_t* kind, int32_t* order,  // [F,C]
+                          int32_t* shift, int32_t* wasted,
+                          int32_t* po, int32_t* width,    // [F,C]
+                          int32_t* taps,                  // [F,C,32]
+                          int64_t* warmup,                // [F,C,32]
+                          int64_t* const_val,             // [F,C]
+                          int32_t* ckpt_pos,              // [F,C,K]
+                          int32_t* ckpt_param,            // [F,C,K]
+                          int32_t* ckpt_esc,              // [F,C,K]
+                          int32_t* ckpt_inesc,            // [F,C,K]
+                          int64_t* end_bits) {            // [F]
+    const int64_t n = block_size;
+    const int S = ckpt_interval;
+    const int64_t K = (n + S - 1) / S;
+    for (int64_t r = 0; r < n_rows; ++r) {
+        FastCursor cur{data + r * row_stride, row_stride, start_bits[r]};
+
+        // ---- frame header (sync/CRC already validated by the scanner)
+        cur.read(16);                       // sync + blocking strategy
+        uint32_t bs_code = static_cast<uint32_t>(cur.read(4));
+        uint32_t sr_code = static_cast<uint32_t>(cur.read(4));
+        uint32_t ch_code = static_cast<uint32_t>(cur.read(4));
+        cur.read(4);                        // sample size + reserved
+        uint32_t b0 = static_cast<uint32_t>(cur.read(8));
+        int extra = 0;                      // coded-number continuation
+        for (uint32_t m = 0x80; m && (b0 & m); m >>= 1) ++extra;
+        if (extra > 0) --extra;
+        cur.read(8 * extra);
+        if (bs_code == 6) cur.read(8);
+        else if (bs_code == 7) cur.read(16);
+        if (sr_code == 12) cur.read(8);
+        else if (sr_code == 13 || sr_code == 14) cur.read(16);
+        cur.read(8);                        // header CRC
+
+        channel_code[r] = static_cast<int32_t>(ch_code);
+        int decorr[8] = {0};
+        if (channels == 2) {
+            if (ch_code == 8) decorr[1] = 1;        // L/S
+            else if (ch_code == 9) decorr[0] = 1;   // S/R
+            else if (ch_code == 10) decorr[1] = 1;  // M/S
+        }
+
+        for (int c = 0; c < channels; ++c) {
+            const int64_t sub = (r * channels + c);
+            int32_t* tp = taps + sub * 32;
+            int64_t* wu = warmup + sub * 32;
+            int32_t* cpos = ckpt_pos + sub * K;
+            int32_t* cpar = ckpt_param + sub * K;
+            int32_t* cesc = ckpt_esc + sub * K;
+            int32_t* cine = ckpt_inesc + sub * K;
+
+            if (cur.read(1) != 0) return r + 1;
+            uint32_t type_code = static_cast<uint32_t>(cur.read(6));
+            int w = 0;
+            if (cur.read(1) == 1) {
+                int64_t u = cur.read_unary();
+                if (u < 0) return r + 1;
+                w = static_cast<int>(u) + 1;
+            }
+            wasted[sub] = w;
+            const int eff = bps + decorr[c] - w;
+            if (eff <= 0 || eff > 33) return r + 1;
+
+            int k, o;
+            if (type_code == 0) { k = 0; o = 0; }
+            else if (type_code == 1) { k = 1; o = 0; }
+            else if (type_code >= 8 && type_code <= 12) {
+                k = 2; o = static_cast<int>(type_code & 7);
+            } else if (type_code >= 32) {
+                k = 3; o = static_cast<int>(type_code & 31) + 1;
+            } else return r + 1;
+            kind[sub] = k;
+            order[sub] = o;
+            shift[sub] = 0;
+            po[sub] = 0;
+            width[sub] = 4;
+            const_val[sub] = 0;
+
+            if (k == 0) {                    // constant: one value, no walk
+                const_val[sub] = cur.read_signed(eff);
+                for (int64_t m = 0; m < K; ++m) {
+                    cpos[m] = 0; cpar[m] = 0; cesc[m] = 0; cine[m] = 0;
+                }
+                continue;
+            }
+            if (k == 1) {                    // verbatim: eff bits per sample
+                for (int64_t m = 0; m < K; ++m) {
+                    cpos[m] = static_cast<int32_t>(cur.pos
+                                                   + m * S * int64_t(eff));
+                    cpar[m] = 0; cesc[m] = eff; cine[m] = 1;
+                }
+                cur.pos += n * int64_t(eff);
+                continue;
+            }
+            for (int i = 0; i < o; ++i)      // warmup
+                wu[i] = cur.read_signed(eff);
+            if (k == 3) {                    // LPC meta + coefficients
+                int prec = static_cast<int>(cur.read(4));
+                if (prec == 15) return r + 1;
+                ++prec;
+                int64_t sh = cur.read_signed(5);
+                if (sh < 0) return r + 1;    // forbidden by RFC 9639
+                shift[sub] = static_cast<int32_t>(sh);
+                for (int i = 0; i < o; ++i)
+                    tp[i] = static_cast<int32_t>(cur.read_signed(prec));
+            } else {
+                for (int i = 0; i < 4; ++i) tp[i] = kFixedTaps[o][i];
+            }
+
+            // residual walk with checkpoints
+            uint32_t method = static_cast<uint32_t>(cur.read(2));
+            if (method > 1) return r + 1;
+            const int wd = method == 0 ? 4 : 5;
+            const uint32_t escape = (1u << wd) - 1;
+            const int p_order = static_cast<int>(cur.read(4));
+            const int64_t nparts = int64_t(1) << p_order;
+            if (n % nparts || (n >> p_order) <= o) return r + 1;
+            const int64_t psize = n >> p_order;
+            po[sub] = p_order;
+            width[sub] = wd;
+
+            int64_t param = 0, esc = 0;
+            bool inesc = false;
+            const int64_t bit_limit = row_stride * 8;
+            for (int64_t j = 0; j < n; ++j) {
+                if (j % S == 0) {
+                    const int64_t m = j / S;
+                    cpos[m] = static_cast<int32_t>(cur.pos);
+                    cpar[m] = static_cast<int32_t>(param);
+                    cesc[m] = static_cast<int32_t>(esc);
+                    cine[m] = inesc ? 1 : 0;
+                }
+                if (j < o) continue;         // warmup already consumed
+                if (j == o || (j % psize == 0 && j != 0)) {
+                    const uint32_t pf = static_cast<uint32_t>(cur.read(wd));
+                    if (pf == escape) { esc = cur.read(5); inesc = true; }
+                    else { param = pf; inesc = false; }
+                }
+                if (inesc) {
+                    cur.pos += esc;
+                } else {
+                    const uint64_t wv = cur.win();
+                    if (wv == 0) {           // long unary run (rare)
+                        const int64_t q = cur.read_unary();
+                        if (q < 0) return r + 1;
+                        cur.pos += param;
+                    } else {
+                        cur.pos += __builtin_clzll(wv) + 1 + param;
+                    }
+                }
+                if (cur.pos > bit_limit) return r + 1;
+            }
+        }
+        end_bits[r] = cur.pos;
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,166 @@
+"""Device bit-unpacker: parallel Rice/escape/verbatim symbol decode.
+
+This is the decode-side counterpart of the prefix-sum bit packer — the
+SURVEY-mandated vectorized bit-unpack kernel (SURVEY.md §2.1 #2: "gather
+64-bit windows at arbitrary bit offsets; unary-code scan for Rice
+quotients (parallel clz formulation)"), replacing the reference's per-bit
+unary loop (flac/decoder.py:414-421, flac/binary.py:97-127).
+
+The decode grammar is bit-serial *within* a symbol chain, so the host
+walker (``flacx.native.scan_frames``) checkpoints the bit cursor every
+``S`` samples and the device decodes all ``[F, C, n/S]`` chunks of a
+batch in parallel, each chunk advancing S symbols in one ``lax.scan``:
+
+  * one 3-word gather per step fetches a 64-bit window at every lane's
+    cursor (MSB-first),
+  * ``lax.clz`` over the window gives every lane's unary quotient at
+    once; remainder / escape / verbatim fields are plain shifts,
+  * partition parameter fields are consumed in-step when a lane's sample
+    index crosses a partition boundary.
+
+Self-validating: every lane's final cursor must land exactly on the next
+chunk's checkpoint.  Any violation (or a symbol not contained in one
+64-bit window — impossible in flacx'/libFLAC's own streams, vanishingly
+rare elsewhere) sets an error flag and the caller falls back to the
+strict host parser, so exactness is never at risk.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bytes_to_words(rows: jnp.ndarray) -> jnp.ndarray:
+    """``[F, W]`` u8 rows → ``[F, W/4 + 2]`` big-endian u32 words.
+
+    W must be a multiple of 4; two zero words are appended so 3-word
+    window gathers never clamp into live data.
+    """
+    f, w = rows.shape
+    r = rows.astype(jnp.uint32).reshape(f, w // 4, 4)
+    words = ((r[..., 0] << 24) | (r[..., 1] << 16)
+             | (r[..., 2] << 8) | r[..., 3])
+    return jnp.pad(words, ((0, 0), (0, 2)))
+
+
+def _window64(words: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """64 bits at bit offset ``pos`` in each lane's frame row (MSB-first).
+
+    words: ``[F, Wp]`` u32; pos: ``[F, C, K]`` i32 → ``[F, C, K]`` u64.
+    """
+    f = words.shape[0]
+    w0 = jnp.clip(pos >> 5, 0, words.shape[1] - 3).reshape(f, -1)
+    idx = jnp.concatenate([w0, w0 + 1, w0 + 2], axis=1)
+    got = jnp.take_along_axis(words, idx, axis=1)
+    m = w0.shape[1]
+    wa = got[:, :m].reshape(pos.shape).astype(jnp.uint64)
+    wb = got[:, m:2 * m].reshape(pos.shape).astype(jnp.uint64)
+    wc = got[:, 2 * m:].reshape(pos.shape).astype(jnp.uint64)
+    sh = (pos & 31).astype(jnp.uint64)
+    # wc >> (32 - sh) is exact for sh == 0 too: wc < 2**32 in a u64
+    return (((wa << jnp.uint64(32)) | wb) << sh) | (wc >> (jnp.uint64(32)
+                                                           - sh))
+
+
+def _clz64(win: jnp.ndarray) -> jnp.ndarray:
+    hi = (win >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = win.astype(jnp.uint32)
+    return jnp.where(hi != 0, jax.lax.clz(hi),
+                     32 + jax.lax.clz(lo)).astype(jnp.int32)
+
+
+def parse_residual_chunks(words: jnp.ndarray, ckpt_pos: jnp.ndarray,
+                          ckpt_param: jnp.ndarray, ckpt_esc: jnp.ndarray,
+                          ckpt_inesc: jnp.ndarray, kind: jnp.ndarray,
+                          order: jnp.ndarray, po: jnp.ndarray,
+                          width: jnp.ndarray, n: int,
+                          s_interval: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode all residual/verbatim symbols of a frame batch in parallel.
+
+    Args:
+      words: ``[F, Wp]`` u32 big-endian frame rows (``bytes_to_words``).
+      ckpt_*: ``[F, C, K]`` walker checkpoints (cursor bit position,
+        current Rice parameter, escape size, in-escape flag).
+      kind/order/po/width: ``[F, C]`` subframe structure.
+      n: block size (static); s_interval: checkpoint interval (static).
+    Returns:
+      ``(vals [F, C, n] int64, err [] bool)`` — zigzag-decoded residuals
+      (warmup positions are zero), batch-level error flag.
+    """
+    f, c, k = ckpt_pos.shape
+    s = s_interval
+    n_pad = k * s
+
+    # ---- per-sample grammar masks (precomputed, vectorized) --------------
+    j = jnp.arange(n_pad, dtype=jnp.int32)                       # [n_pad]
+    pred = (kind >= 2)[..., None]
+    psize = (n >> po)[..., None]                                 # [F,C,1]
+    in_block = j < n
+    at_start = (pred & in_block
+                & ((j == order[..., None])
+                   | ((j > 0) & (j % psize == 0))))              # [F,C,n_pad]
+    active = in_block & (pred & (j >= order[..., None])
+                         | (kind == 1)[..., None])
+
+    def to_steps(m):  # [F, C, n_pad] -> [S, F, C, K]
+        return jnp.moveaxis(m.reshape(f, c, k, s), -1, 0)
+
+    xs = (to_steps(at_start), to_steps(active))
+
+    width_l = width[..., None].astype(jnp.int32)                 # [F,C,1]
+    escape_val = (1 << width_l) - 1
+    u64 = jnp.uint64
+
+    def step(carry, x):
+        pos, param, esc, inesc, err = carry
+        start_m, act_m = x
+        win = _window64(words, pos)
+
+        # partition parameter field (and 5-bit escape size) in-window
+        wf = jnp.where(start_m, width_l, 0)
+        p_field = (win >> (u64(64) - wf.astype(u64))).astype(jnp.int32)
+        p_field = jnp.where(start_m, p_field, 0)
+        is_esc = start_m & (p_field == escape_val)
+        esc_field = ((win >> (u64(59) - wf.astype(u64)))
+                     & u64(31)).astype(jnp.int32)
+        param = jnp.where(start_m & ~is_esc, p_field, param)
+        esc = jnp.where(is_esc, esc_field, esc)
+        inesc = jnp.where(start_m, is_esc, inesc)
+        consumed = wf + jnp.where(is_esc, 5, 0)
+        vwin = win << consumed.astype(u64)
+
+        # Rice: clz gives the unary quotient for every lane at once
+        q = _clz64(vwin)
+        code_bits = q + 1 + param
+        rem_sh = jnp.clip(64 - code_bits, 0, 63).astype(u64)
+        rem = ((vwin >> rem_sh)
+               & ((u64(1) << param.astype(u64)) - u64(1))).astype(jnp.int64)
+        u = (q.astype(jnp.int64) << param.astype(jnp.int64)) | rem
+        rice_val = (u >> 1) ^ -(u & 1)
+
+        # escape partitions / verbatim: esc-bit signed field (arithmetic
+        # shift of the signed window sign-extends for free)
+        esc_sh = jnp.clip(64 - esc, 1, 64).astype(u64)
+        esc_val = jnp.where(esc > 0,
+                            vwin.astype(jnp.int64) >> esc_sh.astype(jnp.int64),
+                            0)
+
+        val = jnp.where(inesc, esc_val, rice_val)
+        used = consumed + jnp.where(inesc, esc, code_bits)
+        err = err | (act_m & (used > 64))
+        pos = pos + jnp.where(act_m, used, 0)
+        val = jnp.where(act_m, val, 0)
+        return (pos, param, esc, inesc, err), val
+
+    carry0 = (ckpt_pos.astype(jnp.int32), ckpt_param.astype(jnp.int32),
+              ckpt_esc.astype(jnp.int32), ckpt_inesc.astype(bool),
+              jnp.zeros((f, c, k), bool))
+    (pos_end, *_, err), ys = jax.lax.scan(step, carry0, xs, unroll=4)
+
+    # self-check: each chunk must land exactly on the next checkpoint
+    chain_ok = pos_end[..., :-1] == ckpt_pos[..., 1:]
+    err_any = jnp.any(err) | ~jnp.all(chain_ok)
+
+    vals = jnp.moveaxis(ys, 0, -1).reshape(f, c, n_pad)[..., :n]
+    return vals, err_any

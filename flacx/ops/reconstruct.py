@@ -16,37 +16,45 @@ from flacx.format import Channels
 
 
 def reconstruct_predicted(residual: jnp.ndarray, taps: jnp.ndarray,
-                          shift: jnp.ndarray,
-                          order: jnp.ndarray) -> jnp.ndarray:
+                          shift: jnp.ndarray, order: jnp.ndarray,
+                          dtype=jnp.int64, unroll: int = 8) -> jnp.ndarray:
     """Rebuild samples from residuals for fixed/LPC subframes.
 
     Args:
-      residual: ``[..., n]`` int64 — warmup samples occupy positions
+      residual: ``[..., n]`` int — warmup samples occupy positions
         ``i < order`` (verbatim-style), residuals the rest.
       taps: ``[..., T]`` int32 predictor taps (zero beyond order).
       shift: ``[...]`` int32.
       order: ``[...]`` int32.
+      dtype: accumulator dtype.  int64 is always exact (§2.4 of
+        SURVEY.md: up to ~bps+prec+log2(order) accumulator bits); the
+        caller may select int32 when ``eff_bps + bitlen(Σ|taps|) + 1 <=
+        31`` holds for the whole batch — typical for 16-bit streams with
+        5-bit coefficients — which roughly halves VPU work on TPU where
+        64-bit integers are emulated.
+      unroll: scan unroll factor (per-step overhead amortization).
     Returns:
       ``[..., n]`` int64 reconstructed samples.
     """
     t = taps.shape[-1]
     n = residual.shape[-1]
     lead = residual.shape[:-1]
-    taps64 = taps.astype(jnp.int64)
-    shift64 = shift.astype(jnp.int64)
+    taps_w = taps[..., ::-1].astype(dtype)
+    shift_w = shift.astype(dtype)
+    residual = residual.astype(dtype)
 
     # state: window of the last T samples, window[..., -1] = x[i-1]
-    win0 = jnp.zeros((*lead, t), jnp.int64)
+    win0 = jnp.zeros((*lead, t), dtype)
 
     def step(win, i):
-        acc = jnp.sum(win * taps64[..., ::-1], axis=-1)
-        pred = jnp.right_shift(acc, shift64)
+        acc = jnp.sum(win * taps_w, axis=-1, dtype=dtype)
+        pred = jnp.right_shift(acc, shift_w)
         x = residual[..., i] + jnp.where(i >= order, pred, 0)
         win = jnp.concatenate([win[..., 1:], x[..., None]], axis=-1)
         return win, x
 
-    _, xs = jax.lax.scan(step, win0, jnp.arange(n))
-    return jnp.moveaxis(xs, 0, -1)
+    _, xs = jax.lax.scan(step, win0, jnp.arange(n), unroll=unroll)
+    return jnp.moveaxis(xs, 0, -1).astype(jnp.int64)
 
 
 def undo_decorrelation(ch0: jnp.ndarray, ch1: jnp.ndarray,
