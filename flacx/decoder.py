@@ -138,7 +138,7 @@ _DEVICE_FNS: dict = {}
 
 
 def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
-                      use_i32: bool, verify_crc: bool):
+                      span_words: int, use_i32: bool, verify_crc: bool):
     """Build (and cache) the jitted rows→PCM decode pipeline.
 
     One fused XLA program: byte rows → u32 words → parallel bit-unpack
@@ -146,7 +146,7 @@ def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
     reconstruction → stereo undecorrelation → wasted-bits restore →
     device CRC-16 verification (``flacx.ops.crcfold``).
     """
-    key = (n, c, bps, s, t, use_i32, verify_crc)
+    key = (n, c, bps, s, t, span_words, use_i32, verify_crc)
     if key in _DEVICE_FNS:
         return _DEVICE_FNS[key]
     import jax
@@ -163,7 +163,7 @@ def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
         words = bytes_to_words(rows)
         vals, err = parse_residual_chunks(
             words, ckpt_pos, ckpt_param, ckpt_esc, ckpt_inesc, kind, order,
-            po, width, n, s)
+            po, width, n, s, span_words)
         i = jnp.arange(n, dtype=jnp.int32)
         warm = warmup[..., : min(32, n)]
         if n > warm.shape[-1]:
@@ -217,16 +217,42 @@ def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
     if scan is None:
         return None
 
-    # taps-window bucket and the int32-reconstruction eligibility are
-    # batch-level statics (tiny host reductions over walker outputs)
+    # taps-window bucket, chunk-span bucket and the int32-reconstruction
+    # eligibility are batch-level statics (tiny host reductions over
+    # walker outputs)
     max_order = int(scan.order.max()) if scan.order.size else 0
     t = next(b for b in (4, 8, 12, 16, 32) if b >= max(4, max_order))
     sum_abs = int(np.abs(scan.taps).sum(-1).max()) if scan.taps.size else 0
     eff_max = bps + (1 if c == 2 else 0)
     use_i32 = eff_max + max(sum_abs, 1).bit_length() + 2 <= 31
 
-    fn = _device_decode_fn(n, c, bps, scan.ckpt_interval, t, use_i32,
-                           verify_crc)
+    # max bit span of any chunk → words-per-window bucket.  The last
+    # chunk of channel c is bounded by channel c+1's first checkpoint
+    # (or the frame end when c+1 is constant / c is last — off by only
+    # that tiny subframe).  An undersized bucket is caught by the
+    # kernel's in-scan cursor check (err → fallback), so this estimate
+    # affects speed, never correctness.
+    span_bits = 64
+    if scan.ckpt_pos.shape[-1] > 1:
+        span_bits = max(span_bits, int(np.diff(scan.ckpt_pos, axis=-1)
+                                       .max()))
+    active = scan.kind >= 1
+    if active.any():
+        ends = np.broadcast_to(scan.end_bits[:, None], (f, c)).copy()
+        if c > 1:
+            nxt_start = scan.ckpt_pos[:, 1:, 0]
+            nxt_const = scan.kind[:, 1:] == 0
+            ends[:, :-1] = np.where(nxt_const, ends[:, :-1], nxt_start)
+        span_bits = max(span_bits,
+                        int((ends - scan.ckpt_pos[..., -1])[active].max()))
+    need = span_bits // 32 + 4
+    span_words = next((x for x in (8, 12, 16, 24, 32, 48, 64, 96, 128)
+                       if x >= need), None)
+    if span_words is None:
+        return None
+
+    fn = _device_decode_fn(n, c, bps, scan.ckpt_interval, t, span_words,
+                           use_i32, verify_crc)
     pcm, err, crc_ok = fn(
         rows, lens.astype(np.int32), scan.channel_code, scan.kind,
         scan.order, scan.shift, scan.wasted, scan.po, scan.width, scan.taps,

@@ -11,18 +11,26 @@ walker (``flacx.native.scan_frames``) checkpoints the bit cursor every
 ``S`` samples and the device decodes all ``[F, C, n/S]`` chunks of a
 batch in parallel, each chunk advancing S symbols in one ``lax.scan``:
 
-  * one 3-word gather per step fetches a 64-bit window at every lane's
-    cursor (MSB-first),
+  * every chunk's word span is gathered ONCE up front into an L-major
+    ``[L, lanes]`` array whose minor axis is the flattened
+    ``F·C·K`` chunk-lane space — each ``local[j]`` slice is a
+    perfectly-tiled vector, so the per-step 64-bit window extraction is
+    a leading-axis one-hot masked reduction: pure, layout-friendly VPU
+    work.  (Both a per-step 3-word gather and an ``[F,C,K,L]``
+    minor-axis layout measured 3–10× slower: TPU gathers cost ~10 ns
+    per index in-program, and an L=32 minor axis pads 128-lane tiles
+    4×.)
   * ``lax.clz`` over the window gives every lane's unary quotient at
     once; remainder / escape / verbatim fields are plain shifts,
   * partition parameter fields are consumed in-step when a lane's sample
     index crosses a partition boundary.
 
 Self-validating: every lane's final cursor must land exactly on the next
-chunk's checkpoint.  Any violation (or a symbol not contained in one
-64-bit window — impossible in flacx'/libFLAC's own streams, vanishingly
-rare elsewhere) sets an error flag and the caller falls back to the
-strict host parser, so exactness is never at risk.
+chunk's checkpoint.  Any violation (a symbol not contained in one
+64-bit window, a cursor escaping its span bucket — impossible in
+flacx'/libFLAC's own streams, vanishingly rare elsewhere) sets an error
+flag and the caller falls back to the strict host parser, so exactness
+is never at risk.
 """
 
 from __future__ import annotations
@@ -35,7 +43,7 @@ def bytes_to_words(rows: jnp.ndarray) -> jnp.ndarray:
     """``[F, W]`` u8 rows → ``[F, W/4 + 2]`` big-endian u32 words.
 
     W must be a multiple of 4; two zero words are appended so 3-word
-    window gathers never clamp into live data.
+    window reads never clamp into live data.
     """
     f, w = rows.shape
     r = rows.astype(jnp.uint32).reshape(f, w // 4, 4)
@@ -44,23 +52,48 @@ def bytes_to_words(rows: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(words, ((0, 0), (0, 2)))
 
 
-def _window64(words: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """64 bits at bit offset ``pos`` in each lane's frame row (MSB-first).
+def gather_chunk_windows_t(words: jnp.ndarray, ckpt_pos: jnp.ndarray,
+                           span_words: int) -> jnp.ndarray:
+    """Pre-gather chunk word spans, L-major: ``[L, F·C·K]`` u32.
 
-    words: ``[F, Wp]`` u32; pos: ``[F, C, K]`` i32 → ``[F, C, K]`` u64.
+    One flat per-element gather of the F·C·K·L window words (~34 ms at
+    batch 1024 — the dominant remaining cost, but measured faster than
+    both a per-scan-step 3-word gather (289 ms) and a slice-gather +
+    barrel-shift formulation (247 ms total); TPU in-program gathers cost
+    ~10 ns per index regardless of locality).  The [L, lanes] L-major
+    layout makes every in-scan ``local[j]`` slice a perfectly tiled
+    vector.
     """
-    f = words.shape[0]
-    w0 = jnp.clip(pos >> 5, 0, words.shape[1] - 3).reshape(f, -1)
-    idx = jnp.concatenate([w0, w0 + 1, w0 + 2], axis=1)
-    got = jnp.take_along_axis(words, idx, axis=1)
-    m = w0.shape[1]
-    wa = got[:, :m].reshape(pos.shape).astype(jnp.uint64)
-    wb = got[:, m:2 * m].reshape(pos.shape).astype(jnp.uint64)
-    wc = got[:, 2 * m:].reshape(pos.shape).astype(jnp.uint64)
-    sh = (pos & 31).astype(jnp.uint64)
+    f, c, k = ckpt_pos.shape
+    lanes = f * c * k
+    b0 = (ckpt_pos >> 5).reshape(f, c * k)                   # [F,CK]
+    j = jnp.arange(span_words, dtype=jnp.int32)
+    wordsp = jnp.pad(words, ((0, 0), (0, span_words)))
+    idx = (b0[:, :, None] + j).reshape(f, c * k * span_words)
+    got = jnp.take_along_axis(wordsp, idx, axis=1)
+    return jnp.transpose(got.reshape(f, c * k, span_words),
+                         (2, 0, 1)).reshape(span_words, lanes)
+
+
+def _window64_onehot(local: jnp.ndarray, off: jnp.ndarray,
+                     sh: jnp.ndarray) -> jnp.ndarray:
+    """64 bits at word offset ``off`` + bit shift ``sh`` in each lane's
+    local chunk span (MSB-first), via one-hot masked sums (no gather).
+
+    local: ``[L, lanes]`` u32; off/sh: ``[lanes]`` i32 → ``[lanes]`` u64.
+    """
+    j = jnp.arange(local.shape[0], dtype=jnp.int32)[:, None]
+    # one streaming pass over the leading L axis extracts all 3 words
+    wa = jnp.sum(jnp.where(j == off, local, 0), axis=0,
+                 dtype=jnp.uint32).astype(jnp.uint64)
+    wb = jnp.sum(jnp.where(j == off + 1, local, 0), axis=0,
+                 dtype=jnp.uint32).astype(jnp.uint64)
+    wc = jnp.sum(jnp.where(j == off + 2, local, 0), axis=0,
+                 dtype=jnp.uint32).astype(jnp.uint64)
+    shw = sh.astype(jnp.uint64)
     # wc >> (32 - sh) is exact for sh == 0 too: wc < 2**32 in a u64
-    return (((wa << jnp.uint64(32)) | wb) << sh) | (wc >> (jnp.uint64(32)
-                                                           - sh))
+    return (((wa << jnp.uint64(32)) | wb) << shw) | (wc >> (jnp.uint64(32)
+                                                            - shw))
 
 
 def _clz64(win: jnp.ndarray) -> jnp.ndarray:
@@ -74,8 +107,9 @@ def parse_residual_chunks(words: jnp.ndarray, ckpt_pos: jnp.ndarray,
                           ckpt_param: jnp.ndarray, ckpt_esc: jnp.ndarray,
                           ckpt_inesc: jnp.ndarray, kind: jnp.ndarray,
                           order: jnp.ndarray, po: jnp.ndarray,
-                          width: jnp.ndarray, n: int,
-                          s_interval: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                          width: jnp.ndarray, n: int, s_interval: int,
+                          span_words: int = 24) -> tuple[jnp.ndarray,
+                                                         jnp.ndarray]:
     """Decode all residual/verbatim symbols of a frame batch in parallel.
 
     Args:
@@ -84,6 +118,9 @@ def parse_residual_chunks(words: jnp.ndarray, ckpt_pos: jnp.ndarray,
         current Rice parameter, escape size, in-escape flag).
       kind/order/po/width: ``[F, C]`` subframe structure.
       n: block size (static); s_interval: checkpoint interval (static).
+      span_words: static words-per-chunk window bucket; any chunk whose
+        cursor escapes its window sets the error flag (caller falls back
+        to the host parser), so an undersized bucket costs speed only.
     Returns:
       ``(vals [F, C, n] int64, err [] bool)`` — zigzag-decoded residuals
       (warmup positions are zero), batch-level error flag.
@@ -91,6 +128,9 @@ def parse_residual_chunks(words: jnp.ndarray, ckpt_pos: jnp.ndarray,
     f, c, k = ckpt_pos.shape
     s = s_interval
     n_pad = k * s
+    lanes = f * c * k
+    local = gather_chunk_windows_t(words, ckpt_pos, span_words)  # [L,S]
+    b0 = (ckpt_pos >> 5).reshape(lanes)
 
     # ---- per-sample grammar masks (precomputed, vectorized) --------------
     j = jnp.arange(n_pad, dtype=jnp.int32)                       # [n_pad]
@@ -103,19 +143,23 @@ def parse_residual_chunks(words: jnp.ndarray, ckpt_pos: jnp.ndarray,
     active = in_block & (pred & (j >= order[..., None])
                          | (kind == 1)[..., None])
 
-    def to_steps(m):  # [F, C, n_pad] -> [S, F, C, K]
-        return jnp.moveaxis(m.reshape(f, c, k, s), -1, 0)
+    def to_steps(m):  # [F, C, n_pad] -> [S_steps, lanes]
+        return jnp.moveaxis(m.reshape(f, c, k, s), -1, 0).reshape(s, lanes)
 
     xs = (to_steps(at_start), to_steps(active))
 
-    width_l = width[..., None].astype(jnp.int32)                 # [F,C,1]
+    def lanewise(a):  # [F, C] -> [lanes]
+        return jnp.broadcast_to(a[..., None], (f, c, k)).reshape(lanes)
+
+    width_l = lanewise(width.astype(jnp.int32))
     escape_val = (1 << width_l) - 1
     u64 = jnp.uint64
 
     def step(carry, x):
         pos, param, esc, inesc, err = carry
         start_m, act_m = x
-        win = _window64(words, pos)
+        off = (pos >> 5) - b0
+        win = _window64_onehot(local, off, pos & 31)
 
         # partition parameter field (and 5-bit escape size) in-window
         wf = jnp.where(start_m, width_l, 0)
@@ -148,19 +192,23 @@ def parse_residual_chunks(words: jnp.ndarray, ckpt_pos: jnp.ndarray,
 
         val = jnp.where(inesc, esc_val, rice_val)
         used = consumed + jnp.where(inesc, esc, code_bits)
-        err = err | (act_m & (used > 64))
+        err = err | (act_m & ((used > 64) | (off > span_words - 3)))
         pos = pos + jnp.where(act_m, used, 0)
         val = jnp.where(act_m, val, 0)
         return (pos, param, esc, inesc, err), val
 
-    carry0 = (ckpt_pos.astype(jnp.int32), ckpt_param.astype(jnp.int32),
-              ckpt_esc.astype(jnp.int32), ckpt_inesc.astype(bool),
-              jnp.zeros((f, c, k), bool))
+    carry0 = (ckpt_pos.reshape(lanes).astype(jnp.int32),
+              ckpt_param.reshape(lanes).astype(jnp.int32),
+              ckpt_esc.reshape(lanes).astype(jnp.int32),
+              ckpt_inesc.reshape(lanes).astype(bool),
+              jnp.zeros((lanes,), bool))
     (pos_end, *_, err), ys = jax.lax.scan(step, carry0, xs, unroll=4)
 
     # self-check: each chunk must land exactly on the next checkpoint
+    pos_end = pos_end.reshape(f, c, k)
     chain_ok = pos_end[..., :-1] == ckpt_pos[..., 1:]
     err_any = jnp.any(err) | ~jnp.all(chain_ok)
 
-    vals = jnp.moveaxis(ys, 0, -1).reshape(f, c, n_pad)[..., :n]
+    vals = jnp.transpose(ys.reshape(s, f, c, k),
+                         (1, 2, 3, 0)).reshape(f, c, n_pad)[..., :n]
     return vals, err_any

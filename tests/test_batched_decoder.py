@@ -361,12 +361,16 @@ def test_device_decode_chunk_kernel_matches_host_parse(rng):
     scan = native.scan_frames(rows, zero, n, 2, 16)
     ref = parse_frames_numpy(rows, zero, n, 2, 16)
 
+    # size the per-chunk window bucket as the decoder does (an
+    # undersized bucket correctly flags err and falls back)
+    span = 64 + int(np.diff(scan.ckpt_pos, axis=-1).max())
     vals, err = parse_residual_chunks(
         bytes_to_words(jnp.asarray(rows)), jnp.asarray(scan.ckpt_pos),
         jnp.asarray(scan.ckpt_param), jnp.asarray(scan.ckpt_esc),
         jnp.asarray(scan.ckpt_inesc), jnp.asarray(scan.kind),
         jnp.asarray(scan.order), jnp.asarray(scan.po),
-        jnp.asarray(scan.width), n, scan.ckpt_interval)
+        jnp.asarray(scan.width), n, scan.ckpt_interval,
+        span_words=span // 32 + 4)
     assert not bool(err)
     got = np.asarray(vals)
     # compare residual positions (warmup lives elsewhere in the device path)
