@@ -32,15 +32,17 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
                exact_order_search: bool = False,
                show_stats: bool = False, best: bool = False) -> None:
     from flacx import pipeline
-    from flacx.wavio import read_wav
+    from flacx.wavio import read_wav, read_wav_chunks, wav_info
 
-    sample_rate, bps, channels, pcm = read_wav(path_in)
+    sample_rate, bps, channels, total = wav_info(path_in)
     if sample_rate <= 48_000 and max_lpc_order > 12:
         raise SystemExit(
             "subset streams at <= 48 kHz require LPC order <= 12")
 
     time_start = timer()
     if best:
+        # the block-size sweep needs the whole file resident anyway
+        *_, pcm = read_wav(path_in)
         with path_out.open("wb") as f:
             stats = pipeline.encode_best(
                 f, pcm, sample_rate=sample_rate, bps=bps, channels=channels,
@@ -56,12 +58,16 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
         print(f"  {stats['bytes_in']} -> {stats['bytes_out']} bytes "
               f"(ratio {ratio:.3f}), best block size {stats['block_size']}")
         return
+    # constant-memory path: the WAV streams through in batch-sized chunks
+    # (O(batch_frames · block_size) peak, any file length)
     with path_out.open("wb") as f:
-        stats = pipeline.encode_to_file(
-            f, pcm, sample_rate=sample_rate, bps=bps, channels=channels,
+        stats = pipeline.encode_chunks_to_file(
+            f, read_wav_chunks(path_in, batch_frames * block_size),
+            sample_rate=sample_rate, bps=bps, channels=channels,
             block_size=block_size, max_lpc_order=max_lpc_order,
             qlp_precision=qlp_coeffs_precision,
             partition_orders=tuple(rice_partition_order),
+            total_samples=total,
             batch_frames=batch_frames, stereo=stereo, device=device,
             wasted_bits=wasted_bits,
             order_search="exact" if exact_order_search else "estimate",

@@ -124,6 +124,30 @@ class EncoderConfig:
         return tuple(o for o in self.porders if o in self.partition_orders)
 
     @property
+    def eff_bps(self) -> int:
+        """Max per-virtual-channel sample width (side channel is bps+1)."""
+        return self.bps + (1 if self.use_stereo_modes else 0)
+
+    @property
+    def lpc_acc_dtype(self):
+        """LPC MAC accumulator dtype (int64 is u32-pair emulated on TPU —
+        ~4× the VPU work — so use int32 whenever the static bound
+        ``eff_bps + 1 + ceil(log2(P · 2^(prec-1)))`` fits 31 bits;
+        bit-identical where it applies)."""
+        import jax.numpy as _jnp
+        sum_taps = max(1, self.max_lpc_order << max(self.qlp_precision - 1,
+                                                    0))
+        return (_jnp.int32
+                if self.eff_bps + 1 + sum_taps.bit_length() <= 31
+                else _jnp.int64)
+
+    @property
+    def fixed_acc_dtype(self):
+        """Fixed-predictor MAC accumulator (Σ|taps| ≤ 15 at order 4)."""
+        import jax.numpy as _jnp
+        return _jnp.int32 if self.eff_bps + 1 + 4 <= 31 else _jnp.int64
+
+    @property
     def work_dtype(self):
         """Residual/zigzag working dtype.
 
@@ -224,16 +248,19 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     for o in range(5):
         if o:
             cur = cur - shift_right_one(cur)
-        fsum_cols.append(jnp.sum(rice.zigzag(cur) * (i_pos >= o), axis=-1))
+        fsum_cols.append(jnp.sum(rice.zigzag(cur) * (i_pos >= o), axis=-1,
+                                 dtype=jnp.int64))
     fzz_sum = jnp.stack(fsum_cols, axis=-1)                      # [B,V,5]
     fcounts = (n - cand_orders[:5]).astype(jnp.int64)
     fest = (rice.estimate_bits(fzz_sum, fcounts, cfg.kmax)
             + 8 + over_warm[..., :5])
 
     if p and cfg.order_search == "exact":
-        lres = lpc_residuals_all(x_v, qcoefs, qshifts)          # [B,V,P,N]
+        lres = lpc_residuals_all(x_v, qcoefs, qshifts,
+                                 cfg.lpc_acc_dtype)             # [B,V,P,N]
         lmask = i_pos >= cand_orders[5:, None]
-        lzz_sum = jnp.sum(rice.zigzag(lres) * lmask, axis=-1)
+        lzz_sum = jnp.sum(rice.zigzag(lres) * lmask, axis=-1,
+                          dtype=jnp.int64)
         lcounts = (n - cand_orders[5:]).astype(jnp.int64)
         lest = rice.estimate_bits(lzz_sum, lcounts, cfg.kmax)
     elif p:
@@ -267,12 +294,13 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         if cfg.order_search == "exact":
             lpc_res = jnp.take_along_axis(lres, lo_idx, axis=2)[:, :, 0]
         else:
-            lpc_res = predict_residual(x_v, taps_lpc_v, shift_lpc_v)
+            lpc_res = predict_residual(x_v, taps_lpc_v, shift_lpc_v,
+                                       cfg.lpc_acc_dtype)
         # cross-family comparison always on EXACT magnitude sums (the
         # Levinson error is optimistic about post-quantization residuals)
         lmask_best = i_pos >= lpc_order[..., None]
         lpc_res = lpc_res * lmask_best        # zero the warmup junk
-        lzz_exact = jnp.sum(rice.zigzag(lpc_res), axis=-1)
+        lzz_exact = jnp.sum(rice.zigzag(lpc_res), axis=-1, dtype=jnp.int64)
         lpc_bits = (rice.estimate_bits(
             lzz_exact, (n - lpc_order).astype(jnp.int64), cfg.kmax)
             + 8 + lpc_order.astype(jnp.int64) * bps_v64
@@ -339,7 +367,8 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     # per-channel best already computed above
     taps_fix4 = jnp.asarray(FIXED_PREDICTOR_TAPS)[f_order]       # [B,C,4]
     res_fix = predict_residual(
-        x_sel, taps_fix4, jnp.zeros((b, c), jnp.int32)).astype(wdt)
+        x_sel, taps_fix4, jnp.zeros((b, c), jnp.int32),
+        cfg.fixed_acc_dtype).astype(wdt)
     res = jnp.where(is_lpc[..., None], gather_v(lpc_res), res_fix)
 
     taps_fix = jnp.pad(taps_fix4, ((0, 0), (0, 0), (0, t - 4)))
@@ -455,51 +484,68 @@ class BatchEncoder:
         return self._fn(jnp.asarray(pcm, jnp.int32),
                         jnp.asarray(frame_indices, jnp.int64))
 
-    def encode_frames(self, pcm: np.ndarray, first_index: int,
-                      stats: dict | None = None) -> list[bytes]:
-        """Encode ``[F, channels, N]`` full blocks into frame byte strings.
+    def _drain(self, entry: tuple[dict, int],
+               stats: dict | None) -> list[bytes]:
+        """Fetch one finished device batch and assemble its frame bytes."""
+        from flacx.native import assemble_frames
+        result, valid = entry
+        data = np.asarray(result["bytes"])
+        lens = np.asarray(result["length"])
+        if stats is not None:
+            kinds = np.asarray(result["kind"])[:valid].ravel()
+            kh = stats.setdefault("subframe_kinds", {})
+            for name, code in (("constant", 0), ("verbatim", 1),
+                               ("fixed", 2), ("lpc", 3)):
+                kh[name] = kh.get(name, 0) + int((kinds == code).sum())
+            codes = np.asarray(result["channel_code"])[:valid]
+            mh = stats.setdefault("stereo_modes", {})
+            for name, code in (("L/R", 1), ("L/S", 8), ("S/R", 9),
+                               ("M/S", 10)):
+                mh[name] = mh.get(name, 0) + int((codes == code).sum())
+            stats["frame_bytes"] = (stats.get("frame_bytes", 0)
+                                    + int(lens[:valid].sum()))
+        return assemble_frames(data[:valid], lens[:valid])
+
+    def encode_frame_stream(self, batches, first_index: int = 0,
+                            stats: dict | None = None):
+        """Encode a stream of block batches, yielding frame byte strings.
+
+        ``batches`` is an iterable of ``[F<=batch_frames, channels, N]``
+        full-block groups (short groups are zero-padded to the compiled
+        batch shape; pad frames are encoded and discarded).  One device
+        batch is kept in flight so host assembly of batch ``i`` overlaps
+        the device encode of batch ``i+1`` — memory stays O(batch)
+        regardless of stream length, the generator contract of the
+        reference encoder (flac/encoder.py:48-165) at batch granularity.
 
         ``stats``, if given, accumulates per-run observability counters
         (SURVEY.md §5 metrics row): subframe-kind and stereo-mode
         histograms plus total frame bytes.
         """
-        f = pcm.shape[0]
-        out: list[bytes] = []
         bsz = self.batch_frames
         pending: list[tuple[dict, int]] = []
-
-        def drain(entry):
-            from flacx.native import assemble_frames
-            result, valid = entry
-            data = np.asarray(result["bytes"])
-            lens = np.asarray(result["length"])
-            if stats is not None:
-                kinds = np.asarray(result["kind"])[:valid].ravel()
-                kh = stats.setdefault("subframe_kinds", {})
-                for name, code in (("constant", 0), ("verbatim", 1),
-                                   ("fixed", 2), ("lpc", 3)):
-                    kh[name] = kh.get(name, 0) + int((kinds == code).sum())
-                codes = np.asarray(result["channel_code"])[:valid]
-                mh = stats.setdefault("stereo_modes", {})
-                for name, code in (("L/R", 1), ("L/S", 8), ("S/R", 9),
-                                   ("M/S", 10)):
-                    mh[name] = mh.get(name, 0) + int((codes == code).sum())
-                stats["frame_bytes"] = (stats.get("frame_bytes", 0)
-                                        + int(lens[:valid].sum()))
-            out.extend(assemble_frames(data[:valid], lens[:valid]))
-
-        for start in range(0, f, bsz):
-            chunk = pcm[start: start + bsz]
+        index = first_index
+        for chunk in batches:
             valid = chunk.shape[0]
+            if valid > bsz:
+                raise ValueError(f"batch group of {valid} frames exceeds "
+                                 f"batch_frames={bsz}")
             if valid < bsz:
                 chunk = np.concatenate(
                     [chunk, np.zeros((bsz - valid, *chunk.shape[1:]),
                                      chunk.dtype)], axis=0)
-            result = self.encode_batch_device(chunk, first_index + start)
+            result = self.encode_batch_device(chunk, index)
+            index += valid
             pending.append((result, valid))
             # keep at most one batch in flight to overlap host assembly
             if len(pending) > 1:
-                drain(pending.pop(0))
+                yield from self._drain(pending.pop(0), stats)
         while pending:
-            drain(pending.pop(0))
-        return out
+            yield from self._drain(pending.pop(0), stats)
+
+    def encode_frames(self, pcm: np.ndarray, first_index: int,
+                      stats: dict | None = None) -> list[bytes]:
+        """Encode ``[F, channels, N]`` full blocks into frame byte strings."""
+        bsz = self.batch_frames
+        batches = (pcm[s: s + bsz] for s in range(0, pcm.shape[0], bsz))
+        return list(self.encode_frame_stream(batches, first_index, stats))

@@ -145,45 +145,55 @@ def shift_right_k(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def predict_residual(x: jnp.ndarray, taps: jnp.ndarray,
-                     shift: jnp.ndarray) -> jnp.ndarray:
+                     shift: jnp.ndarray, acc_dtype=jnp.int64) -> jnp.ndarray:
     """Exact integer residual ``x[i] - (Σ_j taps_j·x[i-1-j] >> shift)``.
 
     Args:
       x: ``[..., n]`` integer samples.
       taps: ``[..., T]`` int taps (zero beyond the true order).
       shift: ``[...]`` int arithmetic right shift.
+      acc_dtype: accumulator dtype.  int64 is always exact (SURVEY.md
+        §2.4) but is *emulated* as u32 pairs on TPU (~4× the VPU work and
+        HBM traffic); callers whose static bound
+        ``bps_eff + 1 + ceil(log2(Σ|taps|_max))`` fits 31 bits pass int32
+        — bit-identical by construction, and this MAC is the single
+        hottest fusion of the encode pipeline (16.6 of 33 ms at batch
+        1024 when run as int64).
     Returns:
-      ``[..., n]`` int64 (positions ``i < order`` hold junk; mask by order).
+      ``[..., n]`` acc_dtype (positions ``i < order`` hold junk; mask by
+      order).
 
-    Parity: reference flac/encoder.py:537-548, int64 accumulation per
-    SURVEY.md §2.4.
+    Parity: reference flac/encoder.py:537-548.
     """
-    x64 = x.astype(jnp.int64)
+    xa = x.astype(acc_dtype)
     t = taps.shape[-1]
-    acc = jnp.zeros_like(x64)
+    acc = jnp.zeros_like(xa)
     for j in range(t):
-        acc = acc + taps[..., j, None].astype(jnp.int64) * shift_right_k(x64, j + 1)
-    pred = jnp.right_shift(acc, shift[..., None].astype(jnp.int64))
-    return x64 - pred
+        acc = acc + (taps[..., j, None].astype(acc_dtype)
+                     * shift_right_k(xa, j + 1))
+    pred = jnp.right_shift(acc, shift[..., None].astype(acc_dtype))
+    return xa - pred
 
 
 def lpc_residuals_all(x: jnp.ndarray, qcoefs: jnp.ndarray,
-                      shifts: jnp.ndarray) -> jnp.ndarray:
+                      shifts: jnp.ndarray, acc_dtype=jnp.int64) -> jnp.ndarray:
     """Exact residuals for every LPC order.
 
     Args:
       x: ``[..., n]`` int samples; qcoefs ``[..., P, P]``; shifts ``[..., P]``.
+      acc_dtype: see :func:`predict_residual` (same static bound).
     Returns:
-      ``[..., P, n]`` int64; row ``o-1`` valid at positions ``i >= o``.
+      ``[..., P, n]`` acc_dtype; row ``o-1`` valid at positions ``i >= o``.
     """
     p = qcoefs.shape[-2]
-    x64 = x.astype(jnp.int64)
-    shifted = [shift_right_k(x64, j + 1) for j in range(p)]
+    xa = x.astype(acc_dtype)
+    shifted = [shift_right_k(xa, j + 1) for j in range(p)]
     rows = []
     for o in range(1, p + 1):
-        acc = jnp.zeros_like(x64)
+        acc = jnp.zeros_like(xa)
         for j in range(o):
-            acc = acc + qcoefs[..., o - 1, j, None].astype(jnp.int64) * shifted[j]
-        pred = jnp.right_shift(acc, shifts[..., o - 1, None].astype(jnp.int64))
-        rows.append(x64 - pred)
+            acc = acc + (qcoefs[..., o - 1, j, None].astype(acc_dtype)
+                         * shifted[j])
+        pred = jnp.right_shift(acc, shifts[..., o - 1, None].astype(acc_dtype))
+        rows.append(xa - pred)
     return jnp.stack(rows, axis=-2)

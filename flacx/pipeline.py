@@ -33,6 +33,92 @@ def _oracle_frame(pcm_rows: np.ndarray, index: int, bps: int,
                         params)
 
 
+def encode_chunks_to_file(f: BinaryIO, chunks, *, sample_rate: int,
+                          bps: int, channels: int, block_size: int,
+                          max_lpc_order: int, qlp_precision: int,
+                          partition_orders: tuple[int, ...],
+                          total_samples: int | None = None,
+                          batch_frames: int = 256, stereo: str = "auto",
+                          device: bool = True, wasted_bits: bool = False,
+                          order_search: str = "estimate", sharding=None,
+                          collect_stats: bool = False) -> dict:
+    """Constant-memory encode of a PCM chunk stream into ``f`` (seekable).
+
+    ``chunks`` is an iterable of interleaved int32 ``[n, channels]``
+    arrays of any sizes; peak memory is O(batch_frames · block_size)
+    regardless of stream length — the reference's lazy-generator contract
+    (flac/encoder.py:48-165, fed one sample at a time by
+    flac/__main__.py:82-92) at device-batch granularity.  Pass
+    ``total_samples=None`` for unknown-length streams; the true count is
+    patched into Streaminfo on finalize.  Output bytes are identical to
+    the in-memory :func:`encode_to_file` path.
+    """
+    writer = StreamWriter(f, sample_rate, bps, channels, total_samples,
+                          block_size)
+    run_stats: dict | None = {} if collect_stats else None
+    batch_samples = block_size * batch_frames
+    state = {"seen": 0, "tail": None}
+
+    def full_block_batches():
+        """Cut the chunk stream into [F<=batch, C, N] planar batches."""
+        buf = np.zeros((0, channels), np.int32)
+        for chunk in chunks:
+            chunk = np.ascontiguousarray(chunk, np.int32)
+            if chunk.ndim != 2 or chunk.shape[1] != channels:
+                raise ValueError("chunk must be [n, channels]")
+            writer.add_pcm(chunk)
+            state["seen"] += chunk.shape[0]
+            buf = chunk if not buf.shape[0] else np.concatenate([buf, chunk])
+            while buf.shape[0] >= batch_samples:
+                cut, buf = buf[:batch_samples], buf[batch_samples:]
+                yield (cut.reshape(batch_frames, block_size, channels)
+                       .transpose(0, 2, 1))
+        n_left = buf.shape[0] // block_size
+        state["tail"] = buf[n_left * block_size:]
+        if n_left:
+            yield (buf[: n_left * block_size]
+                   .reshape(n_left, block_size, channels).transpose(0, 2, 1))
+
+    if device:
+        from flacx.encoder import BatchEncoder, EncoderConfig
+        cfg = EncoderConfig(
+            sample_rate=sample_rate, bps=bps, channels=channels,
+            block_size=block_size, max_lpc_order=max_lpc_order,
+            qlp_precision=qlp_precision, partition_orders=partition_orders,
+            stereo=stereo, wasted_bits=wasted_bits,
+            order_search=order_search)
+        enc = BatchEncoder(cfg, batch_frames=batch_frames, sharding=sharding)
+        writer.write_frames(enc.encode_frame_stream(
+            full_block_batches(), 0, stats=run_stats))
+    else:
+        index = 0
+        for batch in full_block_batches():
+            for blk in batch:                       # [C, N] → rows [N, C]
+                writer.write_frame(_oracle_frame(
+                    blk.T, index, bps, block_size, max_lpc_order,
+                    qlp_precision, partition_orders))
+                index += 1
+
+    total = state["seen"]
+    n_full = total // block_size
+    tail = state["tail"]
+    if tail is not None and tail.shape[0]:
+        writer.write_frame(_oracle_frame(
+            tail, n_full, bps, block_size, max_lpc_order, qlp_precision,
+            partition_orders))
+
+    writer.finalize()
+    result = {
+        "samples": total,
+        "frames": n_full + (1 if total % block_size else 0),
+        "bytes_in": total * channels * (bps // 8),
+        "bytes_out": f.tell(),
+    }
+    if collect_stats and device:
+        result["stats"] = run_stats
+    return result
+
+
 def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
                    bps: int, channels: int, block_size: int,
                    max_lpc_order: int, qlp_precision: int,
@@ -42,53 +128,18 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
                    sharding=None, collect_stats: bool = False) -> dict:
     """Encode interleaved PCM ``[frames, channels]`` into ``f`` (seekable).
 
-    Returns a stats dict (bytes in/out, frame count, samples).
+    In-memory convenience wrapper over :func:`encode_chunks_to_file`
+    (byte-identical output).  Returns a stats dict (bytes in/out, frame
+    count, samples).
     """
-    total = pcm.shape[0]
-    writer = StreamWriter(f, sample_rate, bps, channels, total, block_size)
-    writer.add_pcm(pcm)
-
-    n_full = total // block_size
-    tail = total - n_full * block_size
-
-    if device and n_full:
-        from flacx.encoder import BatchEncoder, EncoderConfig
-        cfg = EncoderConfig(
-            sample_rate=sample_rate, bps=bps, channels=channels,
-            block_size=block_size, max_lpc_order=max_lpc_order,
-            qlp_precision=qlp_precision, partition_orders=partition_orders,
-            stereo=stereo, wasted_bits=wasted_bits,
-            order_search=order_search)
-        enc = BatchEncoder(cfg, batch_frames=batch_frames,
-                           sharding=sharding)
-        planar = (pcm[: n_full * block_size]
-                  .reshape(n_full, block_size, channels)
-                  .transpose(0, 2, 1).astype(np.int32))
-        run_stats: dict | None = {} if collect_stats else None
-        writer.write_frames(enc.encode_frames(planar, 0, stats=run_stats))
-    else:
-        for i in range(n_full):
-            rows = pcm[i * block_size:(i + 1) * block_size]
-            writer.write_frame(_oracle_frame(
-                rows, i, bps, block_size, max_lpc_order, qlp_precision,
-                partition_orders))
-
-    if tail:
-        rows = pcm[n_full * block_size:]
-        writer.write_frame(_oracle_frame(
-            rows, n_full, bps, block_size, max_lpc_order, qlp_precision,
-            partition_orders))
-
-    writer.finalize()
-    result = {
-        "samples": total,
-        "frames": n_full + (1 if tail else 0),
-        "bytes_in": pcm.shape[0] * channels * (bps // 8),
-        "bytes_out": f.tell(),
-    }
-    if collect_stats and device and n_full:
-        result["stats"] = run_stats
-    return result
+    return encode_chunks_to_file(
+        f, [pcm], sample_rate=sample_rate, bps=bps, channels=channels,
+        block_size=block_size, max_lpc_order=max_lpc_order,
+        qlp_precision=qlp_precision, partition_orders=partition_orders,
+        total_samples=pcm.shape[0], batch_frames=batch_frames,
+        stereo=stereo, device=device, wasted_bits=wasted_bits,
+        order_search=order_search, sharding=sharding,
+        collect_stats=collect_stats)
 
 
 def encode_best(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int, bps: int,

@@ -13,6 +13,29 @@ from pathlib import Path
 import numpy as np
 
 
+def _raw_to_int32(raw: bytes, width: int) -> np.ndarray:
+    """Little-endian PCM sample bytes → flat int32 (8-bit recentred)."""
+    if width == 1:
+        return np.frombuffer(raw, np.uint8).astype(np.int32) - 128
+    if width == 2:
+        return np.frombuffer(raw, "<i2").astype(np.int32)
+    if width == 3:
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.uint32)
+        u = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        pcm = u.astype(np.int32)
+        return np.where(pcm >= 1 << 23, pcm - (1 << 24), pcm)
+    if width == 4:
+        return np.frombuffer(raw, "<i4").astype(np.int32)
+    raise ValueError(f"unsupported sample width {width}")
+
+
+def wav_info(path: Path | str) -> tuple[int, int, int, int]:
+    """Probe a PCM WAV header: ``(sample_rate, bps, channels, frames)``."""
+    with wave.open(str(path), "rb") as w:
+        return (w.getframerate(), w.getsampwidth() * 8, w.getnchannels(),
+                w.getnframes())
+
+
 def read_wav(path: Path | str) -> tuple[int, int, int, np.ndarray]:
     """Read a PCM WAV file.
 
@@ -26,21 +49,26 @@ def read_wav(path: Path | str) -> tuple[int, int, int, np.ndarray]:
         channels = w.getnchannels()
         frames = w.getnframes()
         raw = w.readframes(frames)
+    return sr, width * 8, channels, _raw_to_int32(raw, width).reshape(
+        -1, channels)
 
-    if width == 1:
-        pcm = np.frombuffer(raw, np.uint8).astype(np.int32) - 128
-    elif width == 2:
-        pcm = np.frombuffer(raw, "<i2").astype(np.int32)
-    elif width == 3:
-        b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.uint32)
-        u = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-        pcm = u.astype(np.int32)
-        pcm = np.where(pcm >= 1 << 23, pcm - (1 << 24), pcm)
-    elif width == 4:
-        pcm = np.frombuffer(raw, "<i4").astype(np.int32)
-    else:
-        raise ValueError(f"unsupported sample width {width}")
-    return sr, width * 8, channels, pcm.reshape(-1, channels)
+
+def read_wav_chunks(path: Path | str, chunk_frames: int):
+    """Stream a PCM WAV file in ``chunk_frames``-sized pieces.
+
+    Yields int32 ``[n, channels]`` arrays (the last may be short) while
+    holding only one chunk in memory — the constant-memory ingest half of
+    the streaming encode path (the reference achieves the same contract
+    one sample at a time, flac/__main__.py:82-92).
+    """
+    with wave.open(str(path), "rb") as w:
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        while True:
+            raw = w.readframes(chunk_frames)
+            if not raw:
+                return
+            yield _raw_to_int32(raw, width).reshape(-1, channels)
 
 
 def pcm_to_le_bytes(pcm: np.ndarray, bps: int) -> bytes:

@@ -94,6 +94,31 @@ def test_predict_residual_unified(rng):
         np.testing.assert_array_equal(got[b, order:], want)
 
 
+def test_predict_residual_int32_acc_bit_identical(rng):
+    """int32 MAC accumulation == int64 within the static bound the
+    encoder gates on (eff_bps+1+ceil(log2(Σ|taps|)) ≤ 31)."""
+    x = rng.integers(-(1 << 17), 1 << 17, size=(8, 512)).astype(np.int32)
+    taps = rng.integers(-16, 17, size=(8, 12)).astype(np.int32)
+    shift = rng.integers(0, 15, size=(8,)).astype(np.int32)
+    a64 = np.asarray(predict_residual(jnp.asarray(x), jnp.asarray(taps),
+                                      jnp.asarray(shift)))
+    a32 = np.asarray(predict_residual(jnp.asarray(x), jnp.asarray(taps),
+                                      jnp.asarray(shift), jnp.int32))
+    assert a32.dtype == np.int32
+    np.testing.assert_array_equal(a32.astype(np.int64), a64)
+
+
+def test_acc_dtype_config_gate():
+    from flacx.encoder import EncoderConfig
+    assert EncoderConfig().lpc_acc_dtype == jnp.int32          # 16/5/12
+    assert EncoderConfig().fixed_acc_dtype == jnp.int32
+    hi = EncoderConfig(bps=24, block_size=16384, max_lpc_order=32,
+                       qlp_precision=15)
+    assert hi.lpc_acc_dtype == jnp.int64                       # 25+1+19
+    assert hi.fixed_acc_dtype == jnp.int32                     # 25+1+4
+    assert EncoderConfig(bps=32, channels=1).fixed_acc_dtype == jnp.int64
+
+
 def test_zigzag_matches(rng):
     r = rng.integers(-1 << 40, 1 << 40, size=128)
     got = np.asarray(zigzag(jnp.asarray(r)))
