@@ -86,6 +86,45 @@ def main() -> None:
     assert np.array_equal(got16, pcm[: 16 * n]), "oracle round-trip mismatch"
     ratio = len(stream) / pcm.nbytes * 2  # int32 holds 16-bit samples
 
+    # -- device decode throughput (rows in HBM → verified PCM in HBM)
+    from flacx.decoder import (_device_decode_fn, parse_stream_header,
+                               scan_frame_offsets)
+    from flacx.native import scan_frames
+
+    si, first = parse_stream_header(stream)
+    offsets = scan_frame_offsets(stream, first, block_size=n)
+    arr = np.frombuffer(stream, np.uint8)
+    ends = np.append(offsets[1:], len(stream))
+    dlens = (ends - offsets).astype(np.int64)
+    width = (int(dlens.max()) + 255) // 256 * 256
+    rows8 = np.zeros((b, width), np.uint8)
+    for i, (o, e) in enumerate(zip(offsets, ends)):
+        rows8[i, : e - o] = arr[o:e]
+    scan = scan_frames(rows8, np.zeros(b, np.int64), n, 2, 16)
+    t_bucket = next(x for x in (4, 8, 12, 16, 32)
+                    if x >= max(4, int(scan.order.max())))
+    use_i32 = 17 + max(int(np.abs(scan.taps).sum(-1).max()),
+                       1).bit_length() + 2 <= 31
+    span = 64 + int(np.diff(scan.ckpt_pos, axis=-1).max())
+    sw = next(x for x in (8, 12, 16, 24, 32, 48, 64, 96, 128)
+              if x >= span // 32 + 4)
+    dfn = _device_decode_fn(n, 2, 16, scan.ckpt_interval, t_bucket, sw,
+                            use_i32, True)
+    dargs = jax.device_put(
+        (rows8, dlens.astype(np.int32), scan.channel_code, scan.kind,
+         scan.order, scan.shift, scan.wasted, scan.po, scan.width,
+         scan.taps, scan.warmup, scan.const_val, scan.ckpt_pos,
+         scan.ckpt_param, scan.ckpt_esc, scan.ckpt_inesc))
+    out = dfn(*dargs)
+    jax.block_until_ready(out)                       # compile + warm
+    t0 = time.time()
+    reps = 3
+    outs = [dfn(*dargs) for _ in range(reps)]
+    jax.block_until_ready(outs)
+    dec_sps = n * b * 2 * reps / (time.time() - t0)
+    pcm_dev, derr, dcrc = outs[-1]
+    assert not bool(derr) and bool(dcrc), "device decode error/CRC fail"
+
     # -- steady-state throughput (slope method, queued dispatches)
     def reduced(p, idx):
         out = enc._fn(p, idx)
@@ -121,6 +160,8 @@ def main() -> None:
             "block_size": n,
             "realtime_x": round(samples_per_sec / 88200.0, 1),
             "compression_ratio": round(ratio, 4),
+            "decode_device_samples_per_s": round(dec_sps, 1),
+            "decode_vs_reference": round(dec_sps / 143_000.0, 1),
         },
     }))
 

@@ -70,6 +70,21 @@ class EncoderConfig:
     #: only for the winner; "exact" evaluates every order's true integer
     #: residual (best compression, ~reference-like selection).
     order_search: str = "estimate"
+    #: LPC analysis float width: "f32" halves analysis HBM traffic (the
+    #: speed default — quantized-coefficient choices differ only slightly
+    #: from f64 and never affect correctness), "f64" matches the
+    #: reference's CPython float analysis (flac/encoder.py:367-381);
+    #: "auto" = f32 for the estimate-mode order search, f64 for exact
+    #: (where best compression is the point).
+    analysis_dtype: str = "auto"
+    #: Emit ESCAPED Rice partitions (raw two's-complement blocks) where
+    #: strictly smaller than every eligible Rice parameter — typically
+    #: partitions of near-uniform huge residuals that the 32-bit symbol
+    #: cap (flacx.ops.rice.CODE_BITS_MAX) would otherwise force into an
+    #: expensive high-k code or a whole-subframe verbatim.  The reference
+    #: decoder reads escapes (flac/decoder.py:387-411); its encoder
+    #: cannot write them (flac/encoder.py:770-772).
+    escapes: bool = True
     #: Detect and strip shared trailing zero bits per subframe (the
     #: reference encoder never sets wasted bits, flac/encoder.py:556).
     #: Spec-correct (RFC 9639) and handled by flacx's own and libFLAC's
@@ -82,6 +97,8 @@ class EncoderConfig:
     def __post_init__(self):
         if self.order_search not in ("estimate", "exact"):
             raise ValueError("order_search must be 'estimate' or 'exact'")
+        if self.analysis_dtype not in ("auto", "f32", "f64"):
+            raise ValueError("analysis_dtype must be 'auto', 'f32' or 'f64'")
         if not 1 <= self.channels <= 8:
             raise ValueError("channels must be in 1..8")
         if not 0 <= self.max_lpc_order <= 32:
@@ -223,11 +240,15 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     i_pos = jnp.arange(n, dtype=jnp.int32)
     wdt = cfg.work_dtype
 
+    adt = (jnp.float64 if cfg.analysis_dtype == "f64"
+           or (cfg.analysis_dtype == "auto" and cfg.order_search == "exact")
+           else jnp.float32)
     if p:
-        # f32 windowed signal with f64 accumulation: halves analysis
-        # traffic; the Levinson recursion itself stays f64
-        w32 = jnp.asarray(tukey_window_np(n).astype(np.float32))
-        xw = x_v.astype(jnp.float32) * w32
+        # windowed signal (f32 by default — halves analysis traffic; f64
+        # under exact/auto for reference-grade coefficient choices); the
+        # autocorr accumulation and Levinson recursion are always f64
+        w32 = jnp.asarray(tukey_window_np(n).astype(adt))
+        xw = x_v.astype(adt) * w32
         autoc = autocorrelate(xw, p)
         taps_f, lpc_err, valid_ld = levinson_all_orders(autoc, p)
         qcoefs, qshifts, valid_q = quantize_all_orders(taps_f, prec)
@@ -330,6 +351,27 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     bps_bv = bps_v.astype(jnp.int64)                             # [B,V]
     const_bits = jnp.where(const_ok, 8 + bps_bv, _INF)
     verb_bits = 8 + n * bps_bv
+
+    # Exact mode ranks the stereo modes by the TRUE exact Rice plan of
+    # every virtual channel (the estimate can misrank modes by a few
+    # dozen bytes per frame — measured on tonal+noise content); the plan
+    # of the winning channels is then reused for emission.  Estimate mode
+    # keeps the cheap ranking and plans only the selected channels.
+    plan_v = None
+    if cfg.use_stereo_modes and cfg.order_search == "exact":
+        taps_fix4_v = jnp.asarray(FIXED_PREDICTOR_TAPS)[fixed_order]
+        res_fix_v = predict_residual(
+            x_v, taps_fix4_v, jnp.zeros((b, nv), jnp.int32),
+            cfg.fixed_acc_dtype).astype(wdt)
+        res_v = jnp.where(pred_is_lpc[..., None], lpc_res, res_fix_v)
+        zz_v = rice.zigzag(res_v) * (i_pos >= pred_order[..., None])
+        plan_v = rice.exact_plan(zz_v, pred_order, cfg.porders,
+                                 cfg.preferred_porders, cfg.kmax,
+                                 allow_escape=cfg.escapes)
+        pred_bits = (8 + pred_order.astype(jnp.int64) * bps_bv
+                     + jnp.where(pred_is_lpc,
+                                 9 + pred_order.astype(jnp.int64) * prec, 0)
+                     + plan_v.bits)
     cost_v = jnp.minimum(jnp.minimum(pred_bits, verb_bits), const_bits)
 
     # ----- stereo mode / channel selection --------------------------------
@@ -364,12 +406,14 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     # chosen taps & residual: the selected fixed residual is recomputed on
     # the narrow [B, C] domain (cheaper than materializing + gathering the
     # [B, V, 5, N] stack); the LPC residual is gathered from the single
-    # per-channel best already computed above
+    # per-channel best already computed above.  (Exact mode already has
+    # every virtual channel's residual and plan — gather those instead.)
     taps_fix4 = jnp.asarray(FIXED_PREDICTOR_TAPS)[f_order]       # [B,C,4]
-    res_fix = predict_residual(
-        x_sel, taps_fix4, jnp.zeros((b, c), jnp.int32),
-        cfg.fixed_acc_dtype).astype(wdt)
-    res = jnp.where(is_lpc[..., None], gather_v(lpc_res), res_fix)
+    if plan_v is None:
+        res_fix = predict_residual(
+            x_sel, taps_fix4, jnp.zeros((b, c), jnp.int32),
+            cfg.fixed_acc_dtype).astype(wdt)
+        res = jnp.where(is_lpc[..., None], gather_v(lpc_res), res_fix)
 
     taps_fix = jnp.pad(taps_fix4, ((0, 0), (0, 0), (0, t - 4)))
     if p:
@@ -386,12 +430,18 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     # ----- exhaustive Rice plan on the chosen exact residual ---------------
     if _stop_after == "select":
         return {"taps": taps, "shift": shift, "order": order}
-    in_resid = i_pos >= order[..., None]
-    zz = rice.zigzag(res) * in_resid
+    if plan_v is not None:
+        zz = gather_v(zz_v)
+        plan = rice.RicePlan(*(gather_v(f) for f in plan_v))
+    else:
+        in_resid = i_pos >= order[..., None]
+        zz = rice.zigzag(res) * in_resid
     if _stop_after == "residual":
         return {"zz": zz}
-    plan = rice.exact_plan(zz, order, cfg.porders,
-                           cfg.preferred_porders, cfg.kmax)
+    if plan_v is None:
+        plan = rice.exact_plan(zz, order, cfg.porders,
+                               cfg.preferred_porders, cfg.kmax,
+                               allow_escape=cfg.escapes)
     if _stop_after == "plan":
         return {"bits": plan.bits, "k": plan.k_sample}
 

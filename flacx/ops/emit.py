@@ -110,21 +110,35 @@ def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
 
     samp_rice_v = ((one << k) | (zz & ((one << k) - 1))).astype(jnp.uint32)
     samp_rice_l = (zz >> k).astype(jnp.int32) + 1 + plan.k_sample
+    # escaped partitions: raw k_sample(=E)-bit two's-complement residual
+    # (flac/decoder.py:404-411 read path; E ≤ 31 guaranteed by the plan)
+    r_signed = (zz >> 1) ^ -(zz & 1)
+    samp_esc_v = (r_signed & ((one << k) - 1)).astype(jnp.uint32)
+    esc = plan.esc_sample
+    samp_pred_v = jnp.where(esc, samp_esc_v, samp_rice_v)
+    samp_pred_l = jnp.where(esc, plan.k_sample, samp_rice_l)
     samp_verb_v = (x.astype(jnp.int64) & bps_mask).astype(jnp.uint32) \
         if jnp.iinfo(x.dtype).bits < 32 else (
             x.astype(jnp.uint32)
             & bps_mask.astype(jnp.int64).astype(jnp.uint32))
     is_verb = (kind == KIND_VERBATIM)[..., None]
-    samp_v = jnp.where(is_verb, samp_verb_v, samp_rice_v)
+    samp_v = jnp.where(is_verb, samp_verb_v, samp_pred_v)
     samp_l = jnp.where(is_verb, bps[..., None],
-                       jnp.where(in_resid, samp_rice_l, 0)).astype(jnp.int32)
+                       jnp.where(in_resid, samp_pred_l, 0)).astype(jnp.int32)
 
     # --- sparse partition-parameter slots at static positions --------------
+    # Rice partition: width-bit parameter k.  Escaped partition: width-bit
+    # all-ones marker followed by the 5-bit raw size E (one fused symbol).
     ppos = param_slot_positions(n, psize_min)
     pidx = jnp.asarray(ppos, jnp.int32)
-    param_v = plan.k_sample[..., pidx].astype(jnp.uint32)
+    esc_p = plan.esc_sample[..., pidx]
+    kp = plan.k_sample[..., pidx].astype(jnp.uint32)
+    ones_marker = ((jnp.uint32(1) << plan.width.astype(jnp.uint32)) - 1
+                   )[..., None]
+    param_v = jnp.where(esc_p, (ones_marker << 5) | kp, kp)
     param_l = jnp.where(is_pred[..., None] & plan.param_start[..., pidx],
-                        plan.width[..., None], 0).astype(jnp.int32)
+                        plan.width[..., None] + jnp.where(esc_p, 5, 0),
+                        0).astype(jnp.int32)
 
     def interleave(pv, sv):
         """Place param slot j immediately before sample ppos[j]."""

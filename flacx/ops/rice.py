@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence
 
+import jax
 import jax.numpy as jnp
 
 #: Bias added to fallback partition orders outside the user's requested
@@ -43,7 +44,10 @@ class RicePlan(NamedTuple):
     porder: jnp.ndarray      # [...]   chosen partition order
     width: jnp.ndarray       # [...]   parameter field width (4 or 5)
     k_sample: jnp.ndarray    # [..., n] Rice parameter covering sample i
+    #                          (escape SIZE in escaped partitions)
     param_start: jnp.ndarray  # [..., n] bool: param symbol precedes sample i
+    esc_sample: jnp.ndarray  # [..., n] bool: sample i is in an ESCAPED
+    #                          partition (raw k_sample-bit two's complement)
 
 
 def zigzag(r: jnp.ndarray) -> jnp.ndarray:
@@ -89,7 +93,8 @@ def partition_sums(zz: jnp.ndarray, max_porder: int,
 
 
 def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
-               preferred: Sequence[int], kmax: int) -> RicePlan:
+               preferred: Sequence[int], kmax: int,
+               allow_escape: bool = True) -> RicePlan:
     """Choose partition order, method width and per-partition parameters.
 
     Args:
@@ -100,6 +105,11 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
       preferred: subset of ``porders`` the user actually requested; other
         entries carry :data:`FALLBACK_BIAS`.
       kmax: largest Rice parameter searched (≤ 30).
+      allow_escape: admit ESCAPED partitions (raw two's-complement blocks)
+        wherever they are strictly smaller than every eligible Rice
+        parameter — the reference decodes them (flac/decoder.py:387-411)
+        but can never write them (``NotImplementedError``,
+        flac/encoder.py:770-772).
 
     Returns a :class:`RicePlan`; ``bits`` includes the 2-bit coding method
     and 4-bit partition-order fields.
@@ -122,6 +132,7 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     best_po = jnp.zeros(lead, jnp.int32)
     best_width = jnp.full(lead, 4, jnp.int32)
     k4_levels, k5_levels = {}, {}
+    e4_levels, e5_levels = {}, {}
 
     n_k4 = min(kmax, 14) + 1  # 4-bit method can express k ≤ 14
 
@@ -129,18 +140,41 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
         nparts = 1 << po
         psize = n >> po
         s = s_by_po[po]  # [..., nparts, kmax+1]
+        m = m_by_po[po]  # [..., nparts]
         is_p0 = (jnp.arange(nparts) == 0)
         cnt = psize - order[..., None] * is_p0  # [..., nparts]
         bits_pk = s + (ks + 1) * cnt[..., None].astype(jnp.int64)
         # code-length cap: only k whose worst code fits one word are eligible
-        q_ok = (m_by_po[po][..., None] >> ks) + ks + 1 <= CODE_BITS_MAX
+        q_ok = (m[..., None] >> ks) + ks + 1 <= CODE_BITS_MAX
         bits_pk = jnp.where(q_ok, bits_pk, INVALID)
+
+        # ESCAPED partition candidate (all-ones parameter, 5-bit raw size
+        # E, then count E-bit two's-complement residuals — the grammar the
+        # reference can read but never write, flac/decoder.py:387-411 vs
+        # encoder.py:770-772).  E must cover the widest residual: for
+        # r >= 0 signed width is bitlen(r)+1 = bitlen(zz=2r); for r < 0 it
+        # is bitlen(zz=2|r|-1).  So E = bitlen(max zz), valid while ≤ 31.
+        # E ≥ 1: the reference decoder's sint(0) raises (binary.py:129-131)
+        # and 0-bit escapes never beat Rice k=0 anyway (5+0 vs count·1 only
+        # for count<5 partitions, which the 64-sample floor precludes).
+        mbits = jnp.iinfo(m.dtype).bits
+        esc_e = jnp.maximum(mbits - jax.lax.clz(m), 1).astype(jnp.int64)
+        esc_cost = 5 + esc_e * cnt.astype(jnp.int64)
+        esc_cost = jnp.where(allow_escape & (esc_e <= 31), esc_cost,
+                             INVALID)
 
         min4 = jnp.min(bits_pk[..., :n_k4], axis=-1)
         arg4 = jnp.argmin(bits_pk[..., :n_k4], axis=-1).astype(jnp.int32)
         min5 = jnp.min(bits_pk, axis=-1)
         arg5 = jnp.argmin(bits_pk, axis=-1).astype(jnp.int32)
-        k4_levels[po], k5_levels[po] = arg4, arg5
+        esc4 = esc_cost < min4
+        esc5 = esc_cost < min5
+        min4 = jnp.minimum(min4, esc_cost)
+        min5 = jnp.minimum(min5, esc_cost)
+        e_i32 = esc_e.astype(jnp.int32)
+        k4_levels[po] = jnp.where(esc4, e_i32, arg4)
+        k5_levels[po] = jnp.where(esc5, e_i32, arg5)
+        e4_levels[po], e5_levels[po] = esc4, esc5
 
         tot4 = 6 + jnp.sum(4 + min4, axis=-1)
         tot5 = 6 + jnp.sum(5 + min5, axis=-1)
@@ -170,17 +204,24 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     i = jnp.arange(n, dtype=jnp.int32)
     k_sample = jnp.zeros((*lead, n), jnp.int32)
     param_start = jnp.zeros((*lead, n), bool)
+    esc_sample = jnp.zeros((*lead, n), bool)
     for po in porders:
         nparts = 1 << po
         psize = n >> po
-        args = jnp.where((best_width == 4)[..., None],
-                         k4_levels[po], k5_levels[po])  # [..., nparts]
-        k_here = jnp.broadcast_to(args[..., None],
-                                  (*lead, nparts, psize)).reshape(*lead, n)
+        w4 = (best_width == 4)[..., None]
+        args = jnp.where(w4, k4_levels[po], k5_levels[po])  # [..., nparts]
+        escs = jnp.where(w4, e4_levels[po], e5_levels[po])
+
+        def expand(a):
+            return jnp.broadcast_to(a[..., None],
+                                    (*lead, nparts, psize)).reshape(*lead, n)
+
         starts = ((i % psize == 0) & (i > 0)) | (i == order[..., None])
         here = (best_po == po)[..., None]
-        k_sample = jnp.where(here, k_here, k_sample)
+        k_sample = jnp.where(here, expand(args), k_sample)
+        esc_sample = jnp.where(here, expand(escs), esc_sample)
         param_start = jnp.where(here, starts, param_start)
 
     return RicePlan(bits=best_bits, porder=best_po, width=best_width,
-                    k_sample=k_sample, param_start=param_start)
+                    k_sample=k_sample, param_start=param_start,
+                    esc_sample=esc_sample)

@@ -257,8 +257,8 @@ def rice_bit_size(zigzag: int, parameter: int) -> int:
 
 
 def plan_residual(residual: tuple[int, ...], block_size: int,
-                  predictor_order: int,
-                  partition_orders: range) -> Residual:
+                  predictor_order: int, partition_orders: range,
+                  use_escapes: bool = False) -> Residual:
     """Choose partition order and per-partition Rice parameters.
 
     Parity: reference flac/encoder.py:632-727 — candidate partition orders
@@ -268,6 +268,13 @@ def plan_residual(residual: tuple[int, ...], block_size: int,
     (first minimum, i.e. the lowest candidate order, on ties).  Falls back
     to partition order 0 when no candidate in the range is legal (the
     reference asserts instead).
+
+    ``use_escapes`` additionally admits ESCAPED partitions (raw E-bit
+    two's-complement blocks, E = bitlen(max zigzag) clamped to [1, 31])
+    where strictly smaller than the Rice coding.  Default OFF: the
+    reference encoder can never produce escapes
+    (flac/encoder.py:770-772), and byte-parity with it on valid input is
+    the oracle's contract.
     """
     zz = [zigzag_encode(r) for r in residual]
 
@@ -277,7 +284,7 @@ def plan_residual(residual: tuple[int, ...], block_size: int,
     if not candidates:
         candidates = [0]
 
-    best = None  # (est_size, order, [(param, part_zz), ...])
+    best = None  # (est_size, order, [(param, part_zz, esc_size), ...])
     for order in candidates:
         nparts = 1 << order
         psize = block_size >> order
@@ -288,31 +295,42 @@ def plan_residual(residual: tuple[int, ...], block_size: int,
         for p in range(nparts):
             part = zz[bounds[p]: bounds[p + 1]]
             param = find_rice_parameter(part)
-            est += 4 + (5 if param > 14 else 4) + sum(
-                rice_bit_size(z, param) for z in part)
-            parts.append((param, part))
+            rice_cost = sum(rice_bit_size(z, param) for z in part)
+            esc_size = 0
+            if use_escapes and part:
+                e = max(1, max(part).bit_length())
+                if e <= 31 and 5 + e * len(part) < rice_cost:
+                    esc_size = e
+                    rice_cost = 5 + e * len(part)
+            est += 4 + (5 if param > 14 else 4) + rice_cost
+            parts.append((param, part, esc_size))
         if best is None or est < best[0]:
             best = (est, order, parts)
 
     _, order, parts = best
     method = (RiceCodingMethod.Rice4Bit
-              if all(p <= 14 for p, _ in parts)
+              if all(p <= 14 for p, _, e in parts if not e)
               else RiceCodingMethod.Rice5Bit)
+    marker = (1 << method.value) - 1
     signed_parts = []
     start = 0
-    for param, part in parts:
+    for param, part, esc_size in parts:
         stop = start + len(part)
         signed_parts.append(RicePartition(
-            parameter=param, residual=tuple(residual[start:stop])))
+            parameter=marker if esc_size else param,
+            residual=tuple(residual[start:stop]),
+            escaped_size=esc_size))
         start = stop
     return Residual(coding_method=method, partition_order=order,
                     partitions=tuple(signed_parts))
 
 
 def plan_subframe(samples: list[int], block_size: int, max_lpc_order: int,
-                  precision: int, partition_orders: range) -> SubframePlan:
+                  precision: int, partition_orders: range,
+                  use_escapes: bool = False) -> SubframePlan:
     sf = analyze_subframe(samples, max_lpc_order, precision)
     if sf.kind in (SubframeKind.Constant, SubframeKind.Verbatim):
         return SubframePlan(sf, None)
-    plan = plan_residual(sf.residual, block_size, sf.order, partition_orders)
+    plan = plan_residual(sf.residual, block_size, sf.order, partition_orders,
+                         use_escapes=use_escapes)
     return SubframePlan(sf, plan)

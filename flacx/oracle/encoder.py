@@ -37,6 +37,10 @@ class EncoderParameters:
     rice_partition_order: range = field(default_factory=lambda: range(0, 6))
     lpc_order: range = field(default_factory=lambda: range(0, 13))
     qlp_precision: int = 5
+    #: Admit escaped Rice partitions where strictly smaller.  Default OFF:
+    #: byte-parity with the reference encoder (which cannot write them,
+    #: flac/encoder.py:770-772) is the oracle's contract.
+    use_escapes: bool = False
 
     def __post_init__(self) -> None:
         if self.lpc_order.start != 0:
@@ -89,7 +93,8 @@ def encode_frame(planar: list[list[int]], layout: Channels, index: int,
     plans = [
         plan_subframe(ch, block_size, parameters.max_lpc_order,
                       parameters.qlp_precision,
-                      parameters.rice_partition_order)
+                      parameters.rice_partition_order,
+                      use_escapes=parameters.use_escapes)
         for ch in planar
     ]
     return serialize_frame(plans, layout, index, block_size, sample_size)

@@ -166,10 +166,15 @@ def test_exact_rice_plan_vs_bruteforce(rng):
         order = int(rng.integers(0, 5))
         r[:order] = 0
         zz = np.array([zigzag_encode(int(v)) for v in r], np.int64)
+        # the brute-force oracle enumerates Rice codings only — disable
+        # escapes here and check separately that they never hurt
         plan = exact_plan(jnp.asarray(zz)[None], jnp.asarray([order]),
-                          porders, porders, kmax)
+                          porders, porders, kmax, allow_escape=False)
+        plan_esc = exact_plan(jnp.asarray(zz)[None], jnp.asarray([order]),
+                              porders, porders, kmax)
         want_bits, want_po, want_width = _brute_force_rice(
             zz, order, porders, porders, kmax, n)
+        assert int(plan_esc.bits[0]) <= want_bits
         assert int(plan.bits[0]) == want_bits
         assert int(plan.porder[0]) == want_po
         assert int(plan.width[0]) == want_width
