@@ -125,9 +125,13 @@ def main() -> None:
     pcm_dev, derr, dcrc = outs[-1]
     assert not bool(derr) and bool(dcrc), "device decode error/CRC fail"
 
-    # -- steady-state throughput (slope method, queued dispatches)
+    # -- steady-state throughput (slope method, queued dispatches; ONE
+    # fused dispatch per iteration — input perturbation and the scalar
+    # reduction ride inside the same program, so the dev tunnel's
+    # per-call overhead is paid once per batch, as a production host
+    # driver would)
     def reduced(p, idx):
-        out = enc._fn(p, idx)
+        out = enc._fn(p + (idx % 3).astype(jnp.int32), idx)
         return jnp.sum(out["length"]), jnp.sum(out["bytes"][:, 0]
                                                .astype(jnp.int32))
 
@@ -135,8 +139,7 @@ def main() -> None:
 
     def run(iters: int, base: int) -> float:
         t0 = time.time()
-        outs = [f(planar + (i % 3), jnp.int64(base + i))
-                for i in range(iters)]
+        outs = [f(planar, jnp.int64(base + i)) for i in range(iters)]
         for o in outs:
             int(o[0])
         return time.time() - t0

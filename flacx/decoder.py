@@ -138,15 +138,20 @@ _DEVICE_FNS: dict = {}
 
 
 def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
-                      span_words: int, use_i32: bool, verify_crc: bool):
+                      span_words: int, use_i32: bool, verify_crc: bool,
+                      sharding=None):
     """Build (and cache) the jitted rows→PCM decode pipeline.
 
     One fused XLA program: byte rows → u32 words → parallel bit-unpack
     (``flacx.ops.bitunpack``) → warmup/constant merge → IIR
     reconstruction → stereo undecorrelation → wasted-bits restore →
     device CRC-16 verification (``flacx.ops.crcfold``).
+
+    ``sharding`` (a NamedSharding over the leading frame axis) runs the
+    decode data-parallel over a device mesh — every input is per-frame,
+    so the only collectives are the scalar err/crc all-reduces.
     """
-    key = (n, c, bps, s, t, span_words, use_i32, verify_crc)
+    key = (n, c, bps, s, t, span_words, use_i32, verify_crc, sharding)
     if key in _DEVICE_FNS:
         return _DEVICE_FNS[key]
     import jax
@@ -198,12 +203,15 @@ def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
             crc_ok = jnp.asarray(True)
         return pcm, err, crc_ok
 
-    _DEVICE_FNS[key] = jax.jit(fn)
+    kwargs = {}
+    if sharding is not None:
+        kwargs["in_shardings"] = (sharding,) * 16
+    _DEVICE_FNS[key] = jax.jit(fn, **kwargs)
     return _DEVICE_FNS[key]
 
 
 def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
-                        bps: int, verify_crc: bool):
+                        bps: int, verify_crc: bool, sharding=None):
     """TPU decode path: C++ structure walk + device bit-unpack/reconstruct.
 
     Returns the device PCM array ``[F, n, c]`` (int32, still on device),
@@ -252,7 +260,7 @@ def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
         return None
 
     fn = _device_decode_fn(n, c, bps, scan.ckpt_interval, t, span_words,
-                           use_i32, verify_crc)
+                           use_i32, verify_crc, sharding)
     pcm, err, crc_ok = fn(
         rows, lens.astype(np.int32), scan.channel_code, scan.kind,
         scan.order, scan.shift, scan.wasted, scan.po, scan.width, scan.taps,
@@ -264,9 +272,14 @@ def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
 
 
 def decode_array(data: bytes, batch_frames: int = 256,
-                 verify_crc: bool = True, device: bool = True) -> tuple[
-                     Streaminfo, np.ndarray]:
-    """Decode a whole FLAC stream to PCM ``[frames, channels]`` int32."""
+                 verify_crc: bool = True, device: bool = True,
+                 sharding=None) -> tuple[Streaminfo, np.ndarray]:
+    """Decode a whole FLAC stream to PCM ``[frames, channels]`` int32.
+
+    ``sharding`` (NamedSharding over a ``frames`` mesh) runs the device
+    decode data-parallel across chips; batches whose frame count does not
+    divide the mesh run unsharded.
+    """
     streaminfo, first = parse_stream_header(data)
     n = streaminfo.max_block_size
     c = streaminfo.channels
@@ -306,9 +319,13 @@ def decode_array(data: bytes, batch_frames: int = 256,
 
         # 1) full device path: C++ structure walk + on-device bit-unpack,
         #    reconstruction and CRC-16
+        shard = sharding
+        if shard is not None and (hi - lo) % shard.mesh.devices.size:
+            shard = None
         try:
             dev = _decode_rows_device(rows, lens, n, c,
-                                      streaminfo.sample_size, verify_crc)
+                                      streaminfo.sample_size, verify_crc,
+                                      shard)
         except ValueError:
             return streaminfo, _decode_sequential(data, streaminfo)
         if dev is not None:

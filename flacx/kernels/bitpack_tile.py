@@ -80,6 +80,125 @@ def _tile_kernel(values_ref, lengths_ref, words_ref, bits_ref):
     bits_ref[0] = bits[:1, :]
 
 
+def _upper_kernel(n_strings: int, lanes: int, cap0: int, out_rows: int,
+                  words_ref, *rest):
+    """Merge ``n_strings`` ``cap0``-word strings per lane fully in VMEM.
+
+    The XLA upper tree costs ~20 ms/batch at 1024 frames: every level
+    re-streams the whole ``[B, S, cap]`` buffer through HBM once per
+    staged word shift (log2(cap) passes).  Here the frame's entire
+    word buffer lives in VMEM ([rows, lanes] with frames on lanes) and
+    the same binary-decomposed rolls run at VMEM bandwidth.
+
+    Regions are STATIC row slices (no region masks or per-row length
+    replication; the only dynamic data are the per-lane even-string bit
+    lengths ``la`` fed per level), and every merged region is CLAMPED to
+    ``out_rows`` — string contents provably never exceed the frame's
+    byte capacity, so deep levels shrink instead of doubling, which both
+    bounds the VMEM working set and skips provably-empty rows.
+    """
+    levels = n_strings.bit_length() - 1
+    las = rest[:levels]
+    out_ref = rest[levels]
+    buf = words_ref[0]                          # [rows, lanes] u32
+
+    r_in = cap0
+    for k in range(levels):
+        pairs = n_strings >> (k + 1)
+        r_out = min(2 * r_in, out_rows)
+        la_ref = las[k]
+        regions = []
+        for p in range(pairs):
+            r0 = 2 * p * r_in
+            la = la_ref[0, p]                    # [lanes] i32
+            delta = r_in * 32 - la               # upward shift of B, bits
+            w = (delta >> 5)[None, :]
+            rbits = (delta & 31).astype(jnp.uint32)[None, :]
+            row2 = jax.lax.broadcasted_iota(jnp.int32, (2 * r_in, lanes), 0)
+            od = jnp.concatenate(
+                [jnp.zeros((r_in, lanes), jnp.uint32),
+                 buf[r0 + r_in: r0 + 2 * r_in]], axis=0)
+            t = 1
+            while t <= r_in:
+                rolled = pltpu.roll(od, jnp.int32(2 * r_in - t), axis=0)
+                rolled = jnp.where(row2 >= 2 * r_in - t, jnp.uint32(0),
+                                   rolled)
+                od = jnp.where((w & t) != 0, rolled, od)
+                t <<= 1
+            nxt = pltpu.roll(od, jnp.int32(2 * r_in - 1), axis=0)
+            nxt = jnp.where(row2 >= 2 * r_in - 1, jnp.uint32(0), nxt)
+            od = jnp.where(rbits > 0,
+                           (od << rbits) | (nxt >> ((32 - rbits) & 31)), od)
+            merged = od[:r_out]
+            if r_out <= r_in:
+                merged = buf[r0: r0 + r_out] | merged
+            else:
+                merged = jnp.concatenate(
+                    [buf[r0: r0 + r_in] | merged[:r_in],
+                     merged[r_in:]], axis=0)
+            regions.append(merged)
+        buf = jnp.concatenate(regions, axis=0) if len(regions) > 1 \
+            else regions[0]
+        r_in = r_out
+
+    out_ref[0] = buf
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "lanes",
+                                             "out_rows"))
+def merge_strings(words: jnp.ndarray, bits: jnp.ndarray,
+                  interpret: bool = False, lanes: int = 128,
+                  out_rows: int | None = None) -> jnp.ndarray:
+    """Merge each frame's ``[S, cap]``-word strings into one string.
+
+    Args:
+      words: ``[F, S, cap]`` u32 MSB-first strings (S a power of two,
+        F a multiple of ``lanes``).
+      bits: ``[F, S]`` i32 string bit lengths (each ≤ cap·32).
+      out_rows: word capacity of the result (caller guarantees every
+        frame's TOTAL bits fit: ``sum(bits[i]) ≤ out_rows·32``); merged
+        regions are clamped to it, bounding VMEM and skipping
+        provably-empty deep-level rows.  None = no clamp.
+    Returns:
+      ``[F, out_rows]`` u32 packed words (the frame's stream at row 0).
+    """
+    f, s, cap = words.shape
+    assert s & (s - 1) == 0 and f % lanes == 0
+    rows = s * cap
+    if out_rows is None or out_rows > rows:
+        out_rows = rows
+    grid = f // lanes
+    levels = s.bit_length() - 1
+
+    # per-level even-string lengths [F, pairs] (tiny XLA-side cumsums)
+    las = []
+    cur = bits
+    for _ in range(levels):
+        las.append(cur[:, 0::2])
+        cur = cur[:, 0::2] + cur[:, 1::2]
+
+    wt = (words.reshape(grid, lanes, rows).transpose(0, 2, 1))
+    la_t = [a.reshape(grid, lanes, -1).transpose(0, 2, 1) for a in las]
+
+    block = lambda r: pl.BlockSpec((1, r, lanes),
+                                   lambda g: (g, g - g, g - g),
+                                   memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_upper_kernel, s, lanes, cap, out_rows),
+        grid=(grid,),
+        in_specs=[block(rows)] + [block(a.shape[1]) for a in la_t],
+        out_specs=block(out_rows),
+        out_shape=jax.ShapeDtypeStruct((grid, out_rows, lanes), jnp.uint32),
+        # Mosaic's default scoped-VMEM budget (16 MB) undercounts the
+        # reuse here; the working set genuinely fits once buffers are
+        # shared, and raising the budget lets it allocate the stack.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wt, *la_t)
+    return out.transpose(0, 2, 1).reshape(f, out_rows)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def merge_tiles(values: jnp.ndarray, lengths: jnp.ndarray,
                 interpret: bool = False

@@ -95,14 +95,37 @@ def pack_symbols(values: jnp.ndarray, lengths: jnp.ndarray,
     if use_tile_kernel is None:
         use_tile_kernel = jax.default_backend() == "tpu"
 
-    from flacx.kernels.bitpack_tile import LANES, TILE, merge_tiles
+    from flacx.kernels.bitpack_tile import (LANES, TILE, merge_strings,
+                                            merge_tiles)
     if (use_tile_kernel and s_pow >= TILE
             and (b * s_pow // TILE) % LANES == 0):
         n_tiles = b * s_pow // TILE
         tw, tb = merge_tiles(values.reshape(n_tiles, TILE),
                              lengths.reshape(n_tiles, TILE))
-        words = tw.reshape(b, s_pow // TILE, TILE)
-        bits = tb.reshape(b, s_pow // TILE)
+        n_strings = s_pow // TILE
+        # VMEM-adaptive lane count: peak live set ≈ 3 arrays of
+        # rows·lanes·4 B; keep it well under the ~16 MB VMEM budget
+        rows = n_strings * TILE
+        lanes = 128
+        while lanes > 8 and 3 * rows * lanes * 4 > 12 << 20:
+            lanes //= 2
+        if (2 <= n_strings <= 32 and b % lanes == 0
+                and max_bytes // 4 <= n_strings * TILE):
+            # upper tree fully in VMEM too (~20 ms → sub-ms at batch 1024);
+            # regions clamp to the frame byte capacity (rounded up)
+            out_rows = min(n_strings * TILE,
+                           (max_bytes // 4 + 2 + 511) // 512 * 512)
+            packed = merge_strings(tw.reshape(b, n_strings, TILE),
+                                   tb.reshape(b, n_strings), lanes=lanes,
+                                   out_rows=out_rows)
+            total_bits = tb.reshape(b, n_strings).sum(-1)
+            data = packed[:, : max_bytes // 4]
+            by = jnp.stack([data >> 24, data >> 16, data >> 8, data],
+                           axis=-1)
+            return ((by & jnp.uint32(0xFF)).astype(jnp.uint8)
+                    .reshape(b, max_bytes), total_bits)
+        words = tw.reshape(b, n_strings, TILE)
+        bits = tb.reshape(b, n_strings)
         cap = TILE
     else:
         # level 0: MSB-align each value in one word

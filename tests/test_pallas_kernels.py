@@ -47,3 +47,40 @@ def test_merge_tiles_vs_bitwriter(rng):
         nw = len(want_words)
         np.testing.assert_array_equal(words[i, :nw], want_words)
         assert not words[i, nw:].any()
+
+
+def test_merge_strings_full_packer_vs_xla_tree(rng):
+    """Two-stage Pallas packer (tile merge + in-VMEM upper merge) must
+    reproduce the XLA merge tree bit-for-bit."""
+    from flacx.kernels.bitpack_tile import merge_strings
+    from flacx.ops.bitpack import pack_symbols
+
+    f, slots = 8, 16 * TILE                  # 16 strings per frame
+    lengths = rng.integers(0, 33, size=(f, slots)).astype(np.int32)
+    lengths[:, ::7] = 0
+    lengths[2, TILE:3 * TILE] = 0            # an empty middle string
+    values = (rng.integers(0, 1 << 31, size=(f, slots)).astype(np.uint32)
+              & ((np.uint32(1) << np.minimum(lengths, 31)) - 1)
+              .astype(np.uint32))
+    values = np.where(lengths == 32,
+                      values | np.uint32(1 << 31), values).astype(np.uint32)
+    max_bytes = slots * 4
+
+    tw, tb = merge_tiles(jnp.asarray(values.reshape(-1, TILE)),
+                         jnp.asarray(lengths.reshape(-1, TILE)),
+                         interpret=_interpret())
+    packed = merge_strings(jnp.asarray(tw).reshape(f, 16, TILE),
+                           jnp.asarray(tb).reshape(f, 16),
+                           interpret=_interpret(), lanes=f)
+    got_words = np.asarray(packed)
+    got_bits = np.asarray(tb).reshape(f, 16).sum(-1)
+
+    want_bytes, want_bits = pack_symbols(
+        jnp.asarray(values), jnp.asarray(lengths), max_bytes,
+        use_tile_kernel=False)
+    want_bytes = np.asarray(want_bytes)
+    np.testing.assert_array_equal(got_bits, np.asarray(want_bits))
+    got_bytes = np.stack([got_words >> 24, got_words >> 16,
+                          got_words >> 8, got_words],
+                         axis=-1).astype(np.uint8).reshape(f, -1)
+    np.testing.assert_array_equal(got_bytes, want_bytes)
