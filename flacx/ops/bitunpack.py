@@ -53,26 +53,66 @@ def bytes_to_words(rows: jnp.ndarray) -> jnp.ndarray:
 
 
 def gather_chunk_windows_t(words: jnp.ndarray, ckpt_pos: jnp.ndarray,
-                           span_words: int) -> jnp.ndarray:
-    """Pre-gather chunk word spans, L-major: ``[L, F·C·K]`` u32.
+                           span_words: int,
+                           use_mxu: bool | None = None
+                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pre-gather chunk word windows, L-major.
 
-    One flat per-element gather of the F·C·K·L window words (~34 ms at
-    batch 1024 — the dominant remaining cost, but measured faster than
-    both a per-scan-step 3-word gather (289 ms) and a slice-gather +
-    barrel-shift formulation (247 ms total); TPU in-program gathers cost
-    ~10 ns per index regardless of locality).  The [L, lanes] L-major
-    layout makes every in-scan ``local[j]`` slice a perfectly tiled
-    vector.
+    Returns ``(local [L, F·C·K] u32, base [F·C·K] i32)`` with
+    ``L = span_words + 8`` and ``base`` the 8-word-aligned start of each
+    chunk's window (``local[j, lane] = words[lane_frame, base+j]``); the
+    in-scan extractor absorbs the 0..7-word misalignment.
+
+    Two formulations:
+
+    * flat per-element gather (~34 ms at batch 1024: TPU in-program
+      gathers cost ~10 ns per index regardless of locality — still the
+      best of the gather family; a per-scan-step 3-word gather measured
+      289 ms and a slice-gather + barrel shift 247 ms),
+    * MXU one-hot contraction (default on TPU): rows are cut into
+      aligned 8-word blocks; a per-chunk one-hot over the ~W/8 block
+      indices contracts with the blocks' byte planes on the systolic
+      array — ``local[f,c,:] = Σ_n 1[n = base/8] · seg[f,n,:]``.  Exact
+      by construction: each sum has exactly ONE nonzero term and values
+      ride as four 8-bit byte planes, integers ≤ 255 being exact in
+      bf16 at the MXU's native (fast-path) precision.
+
+    The [L, lanes] L-major output layout makes every in-scan
+    ``local[j]`` slice a perfectly tiled vector.
     """
     f, c, k = ckpt_pos.shape
     lanes = f * c * k
-    b0 = (ckpt_pos >> 5).reshape(f, c * k)                   # [F,CK]
-    j = jnp.arange(span_words, dtype=jnp.int32)
-    wordsp = jnp.pad(words, ((0, 0), (0, span_words)))
-    idx = (b0[:, :, None] + j).reshape(f, c * k * span_words)
-    got = jnp.take_along_axis(wordsp, idx, axis=1)
-    return jnp.transpose(got.reshape(f, c * k, span_words),
-                         (2, 0, 1)).reshape(span_words, lanes)
+    start_w = (ckpt_pos >> 5).astype(jnp.int32)
+    base = (start_w & ~7).reshape(f, c * k)                  # [F,CK]
+    span_local = span_words + 8
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+    wordsp = jnp.pad(words, ((0, 0), (0, span_local + 8)))
+
+    if not use_mxu:
+        j = jnp.arange(span_local, dtype=jnp.int32)
+        idx = (base[:, :, None] + j).reshape(f, c * k * span_local)
+        got = jnp.take_along_axis(wordsp, idx, axis=1)
+        return (jnp.transpose(got.reshape(f, c * k, span_local),
+                              (2, 0, 1)).reshape(span_local, lanes),
+                base.reshape(lanes))
+
+    nblk = (words.shape[1] + 7) // 8
+    nshift = span_local // 8                                  # L/8 blocks
+    blocks = wordsp[:, : (nblk + nshift) * 8].reshape(f, nblk + nshift, 8)
+    segs = jnp.concatenate([blocks[:, s: s + nblk]
+                            for s in range(nshift)], axis=-1)  # [F,nblk,L]
+    rhs = jnp.concatenate([((segs >> sh) & 0xFF).astype(jnp.bfloat16)
+                           for sh in (24, 16, 8, 0)], axis=-1)  # [F,n,4L]
+    onehot = (jnp.arange(nblk, dtype=jnp.int32) == (base >> 3)[..., None]
+              ).astype(jnp.bfloat16)                          # [F,CK,n]
+    got = jnp.einsum("fcn,fnz->fcz", onehot, rhs,
+                     preferred_element_type=jnp.float32)
+    by = [got[..., i * span_local:(i + 1) * span_local].astype(jnp.uint32)
+          for i in range(4)]
+    local = (by[0] << 24) | (by[1] << 16) | (by[2] << 8) | by[3]
+    return (jnp.transpose(local, (2, 0, 1)).reshape(span_local, lanes),
+            base.reshape(lanes))
 
 
 def _window64_onehot(local: jnp.ndarray, off: jnp.ndarray,
@@ -129,8 +169,8 @@ def parse_residual_chunks(words: jnp.ndarray, ckpt_pos: jnp.ndarray,
     s = s_interval
     n_pad = k * s
     lanes = f * c * k
-    local = gather_chunk_windows_t(words, ckpt_pos, span_words)  # [L,S]
-    b0 = (ckpt_pos >> 5).reshape(lanes)
+    local, b0 = gather_chunk_windows_t(words, ckpt_pos, span_words)
+    span_local = local.shape[0]
 
     # ---- per-sample grammar masks (precomputed, vectorized) --------------
     j = jnp.arange(n_pad, dtype=jnp.int32)                       # [n_pad]
@@ -192,7 +232,7 @@ def parse_residual_chunks(words: jnp.ndarray, ckpt_pos: jnp.ndarray,
 
         val = jnp.where(inesc, esc_val, rice_val)
         used = consumed + jnp.where(inesc, esc, code_bits)
-        err = err | (act_m & ((used > 64) | (off > span_words - 3)))
+        err = err | (act_m & ((used > 64) | (off > span_local - 3)))
         pos = pos + jnp.where(act_m, used, 0)
         val = jnp.where(act_m, val, 0)
         return (pos, param, esc, inesc, err), val
