@@ -261,14 +261,14 @@ def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
 
     fn = _device_decode_fn(n, c, bps, scan.ckpt_interval, t, span_words,
                            use_i32, verify_crc, sharding)
-    pcm, err, crc_ok = fn(
+    # returned WITHOUT forcing: the caller defers the err/crc sync by one
+    # batch so the next batch's host structure walk overlaps this batch's
+    # device compute
+    return fn(
         rows, lens.astype(np.int32), scan.channel_code, scan.kind,
         scan.order, scan.shift, scan.wasted, scan.po, scan.width, scan.taps,
         scan.warmup, scan.const_val, scan.ckpt_pos, scan.ckpt_param,
         scan.ckpt_esc, scan.ckpt_inesc)
-    if bool(err) or not bool(crc_ok):
-        return None
-    return pcm
 
 
 def decode_array(data: bytes, batch_frames: int = 256,
@@ -306,6 +306,34 @@ def decode_array(data: bytes, batch_frames: int = 256,
     # mismatch from a displaced boundary, parse error) means the offset
     # scan was fooled, NOT that the stream is bad — fall back to the
     # strict sequential decoder, which re-validates everything
+    def host_parse_batch(lo, hi, rows, lens) -> bool:
+        """Fallback 2): host full parse + device reconstruction."""
+        if verify_crc:
+            from flacx.native import crc16_rows
+            crcs = crc16_rows(rows, (lens - 2).astype(np.int32))
+            stored = ((rows[np.arange(hi - lo), lens - 2].astype(np.uint16)
+                       << 8)
+                      | rows[np.arange(hi - lo), lens - 1])
+            if not np.array_equal(crcs, stored.astype(np.uint16)):
+                return False
+        try:
+            pcm = _decode_rows(rows, n, c, streaminfo.sample_size)
+        except ValueError:
+            return False
+        out[lo * n: hi * n] = pcm.reshape(-1, c)
+        return True
+
+    def resolve(entry) -> bool:
+        """Force one pending device batch (or run its host fallback)."""
+        lo, hi, trip, rows, lens = entry
+        if trip is not None:
+            pcm_dev, err, crc_ok = trip
+            if not bool(err) and bool(crc_ok):
+                out[lo * n: hi * n] = np.asarray(pcm_dev).reshape(-1, c)
+                return True
+        return host_parse_batch(lo, hi, rows, lens)
+
+    pending = None
     for lo in range(0, n_full, batch_frames):
         hi = min(lo + batch_frames, n_full)
         batch_off = offsets[lo:hi]
@@ -318,35 +346,22 @@ def decode_array(data: bytes, batch_frames: int = 256,
             rows[i, : e - o] = arr[o:e]
 
         # 1) full device path: C++ structure walk + on-device bit-unpack,
-        #    reconstruction and CRC-16
+        #    reconstruction and CRC-16, dispatched ASYNC — the previous
+        #    batch resolves while this one computes on device
         shard = sharding
         if shard is not None and (hi - lo) % shard.mesh.devices.size:
             shard = None
         try:
-            dev = _decode_rows_device(rows, lens, n, c,
-                                      streaminfo.sample_size, verify_crc,
-                                      shard)
+            trip = _decode_rows_device(rows, lens, n, c,
+                                       streaminfo.sample_size, verify_crc,
+                                       shard)
         except ValueError:
             return streaminfo, _decode_sequential(data, streaminfo)
-        if dev is not None:
-            out[lo * n: hi * n] = np.asarray(dev).reshape(-1, c)
-            continue
-
-        # 2) host-parse path (native/numpy full parser + device
-        #    reconstruction)
-        if verify_crc:
-            from flacx.native import crc16_rows
-            crcs = crc16_rows(rows, (lens - 2).astype(np.int32))
-            stored = ((rows[np.arange(hi - lo), lens - 2].astype(np.uint16)
-                       << 8)
-                      | rows[np.arange(hi - lo), lens - 1])
-            if not np.array_equal(crcs, stored.astype(np.uint16)):
-                return streaminfo, _decode_sequential(data, streaminfo)
-        try:
-            pcm = _decode_rows(rows, n, c, streaminfo.sample_size)
-        except ValueError:
+        if pending is not None and not resolve(pending):
             return streaminfo, _decode_sequential(data, streaminfo)
-        out[lo * n: hi * n] = pcm.reshape(-1, c)
+        pending = (lo, hi, trip, rows, lens)
+    if pending is not None and not resolve(pending):
+        return streaminfo, _decode_sequential(data, streaminfo)
 
     # short final frame via the oracle
     if tail:

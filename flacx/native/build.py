@@ -15,7 +15,7 @@ def build(verbose: bool = False) -> Path:
     cxx = shutil.which("c++") or shutil.which("g++") or shutil.which("clang++")
     if cxx is None:
         raise RuntimeError("no C++ compiler found")
-    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17",
+    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
            str(src), "-o", str(out)]
     subprocess.run(cmd, check=True,
                    capture_output=not verbose)

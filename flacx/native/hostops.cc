@@ -9,8 +9,12 @@
 // Built by flacx/native/build.py (plain c++ -O3 -shared), loaded via ctypes
 // with a pure-numpy fallback — no pybind11 dependency.
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -368,7 +372,9 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
     const int64_t n = block_size;
     const int S = ckpt_interval;
     const int64_t K = (n + S - 1) / S;
-    for (int64_t r = 0; r < n_rows; ++r) {
+    // Per-row body; rows are fully independent (each writes disjoint
+    // output slices), so the batch walk is threaded across cores below.
+    auto scan_one = [&](int64_t r) -> int64_t {
         FastCursor cur{data + r * row_stride, row_stride, start_bits[r]};
 
         // ---- frame header (sync/CRC already validated by the scanner)
@@ -508,8 +514,44 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
             }
         }
         end_bits[r] = cur.pos;
+        return 0;
+    };
+
+    const unsigned hw = std::thread::hardware_concurrency();
+    const int nt = (n_rows >= 64 && hw > 1)
+        ? static_cast<int>(std::min<int64_t>(std::min<unsigned>(hw, 16),
+                                             n_rows / 16))
+        : 1;
+    if (nt <= 1) {
+        for (int64_t r = 0; r < n_rows; ++r) {
+            const int64_t e = scan_one(r);
+            if (e) return e;
+        }
+        return 0;
     }
-    return 0;
+    std::atomic<int64_t> first_err{0};
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_rows + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min<int64_t>(lo + chunk, n_rows);
+        if (lo >= hi) break;
+        threads.emplace_back([&, lo, hi]() {
+            for (int64_t r = lo; r < hi; ++r) {
+                if (first_err.load(std::memory_order_relaxed)) return;
+                const int64_t e = scan_one(r);
+                if (e) {
+                    int64_t cur_e = first_err.load();
+                    while ((cur_e == 0 || e < cur_e)
+                           && !first_err.compare_exchange_weak(cur_e, e)) {
+                    }
+                    return;
+                }
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+    return first_err.load();
 }
 
 }  // extern "C"
