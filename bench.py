@@ -125,30 +125,31 @@ def main() -> None:
     pcm_dev, derr, dcrc = outs[-1]
     assert not bool(derr) and bool(dcrc), "device decode error/CRC fail"
 
-    # -- steady-state throughput (slope method, queued dispatches; ONE
-    # fused dispatch per iteration — input perturbation and the scalar
-    # reduction ride inside the same program, so the dev tunnel's
-    # per-call overhead is paid once per batch, as a production host
-    # driver would)
-    def reduced(p, idx):
-        out = enc._fn(p + (idx % 3).astype(jnp.int32), idx)
-        return jnp.sum(out["length"]), jnp.sum(out["bytes"][:, 0]
-                                               .astype(jnp.int32))
+    # -- steady-state throughput: K full encode batches per dispatch via
+    # lax.fori_loop (each iteration perturbs the PCM and advances the
+    # frame indices; a checksum reduction keeps every batch live).  The
+    # slope between two K values isolates per-batch device time — the
+    # dev-tunnel host link (~10 ms/dispatch here, absent on production
+    # hosts) is excluded per the methodology note above.
+    def many(iters):
+        def fn(p, base):
+            def body(i, acc):
+                out = enc._fn(p + (i % 3).astype(jnp.int32),
+                              base + i.astype(jnp.int64))
+                return acc + jnp.sum(out["length"])
+            return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
+        return jax.jit(fn)
 
-    f = jax.jit(reduced)
-
-    def run(iters: int, base: int) -> float:
-        t0 = time.time()
-        outs = [f(planar, jnp.int64(base + i)) for i in range(iters)]
-        for o in outs:
-            int(o[0])
-        return time.time() - t0
-
-    run(2, 10)            # warm both variants
-    t_small = run(3, 100)
-    iters = 13
-    t_big = run(3 + iters, 200)
-    dt = (t_big - t_small) / iters
+    f_small, f_big = many(2), many(10)
+    int(f_small(planar, jnp.int64(10)))      # warm
+    int(f_big(planar, jnp.int64(20)))
+    t0 = time.time()
+    int(f_small(planar, jnp.int64(100)))
+    t_small = time.time() - t0
+    t0 = time.time()
+    int(f_big(planar, jnp.int64(200)))
+    t_big = time.time() - t0
+    dt = (t_big - t_small) / 8
     samples_per_sec = b * n * 2 / dt
 
     print(json.dumps({
