@@ -30,7 +30,8 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
                stereo: str, device: bool,
                wasted_bits: bool = False,
                exact_order_search: bool = False,
-               show_stats: bool = False, best: bool = False) -> None:
+               show_stats: bool = False, best: bool = False,
+               escapes: bool = True) -> None:
     from flacx import pipeline
     from flacx.wavio import read_wav, read_wav_chunks, wav_info
 
@@ -69,7 +70,7 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
             partition_orders=tuple(rice_partition_order),
             total_samples=total,
             batch_frames=batch_frames, stereo=stereo, device=device,
-            wasted_bits=wasted_bits,
+            wasted_bits=wasted_bits, escapes=escapes,
             order_search="exact" if exact_order_search else "estimate",
             collect_stats=show_stats)
     time_end = timer()
@@ -85,7 +86,8 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
         print("  " + json.dumps(stats["stats"]))
 
 
-def cmd_decode(path_in: Path, path_out: Path, device: bool = True) -> None:
+def cmd_decode(path_in: Path, path_out: Path, device: bool = True,
+               batch_frames: int = 256) -> None:
     import hashlib
 
     from flacx.decoder import decode_array
@@ -94,7 +96,8 @@ def cmd_decode(path_in: Path, path_out: Path, device: bool = True) -> None:
     data = path_in.read_bytes()
 
     time_start = timer()
-    streaminfo, pcm = decode_array(data, device=device)
+    streaminfo, pcm = decode_array(data, device=device,
+                                   batch_frames=batch_frames)
     time_end = timer()
 
     if streaminfo.sample_size % 8:
@@ -125,6 +128,9 @@ def make_argument_parser() -> ArgumentParser:
         "--no-device", action="store_true",
         help="Decode with the sequential host oracle instead of the "
              "batched pipeline.")
+    decode.add_argument(
+        "--batch-frames", type=int, default=256,
+        help="Frames per device decode dispatch.", metavar="N")
 
     encode = action.add_parser(ACTION_ENCODE,
                                formatter_class=ArgumentDefaultsHelpFormatter)
@@ -175,6 +181,11 @@ def make_argument_parser() -> ArgumentParser:
     encode.add_argument(
         "--stats", action="store_true",
         help="Print per-run subframe/stereo-mode histograms.")
+    encode.add_argument(
+        "--no-escapes", action="store_true",
+        help="Never emit escaped Rice partitions (raw two's-complement "
+             "blocks; the reference decoder reads them but some strict "
+             "subset tools may not expect them).")
     encode.add_argument(
         "--exact-order-search", action="store_true",
         help="Evaluate every LPC order's true integer residual instead of "
@@ -234,7 +245,8 @@ def main(argv: list[str] | None = None) -> None:
     args = parser.parse_args(argv)
 
     if args.action == ACTION_DECODE:
-        cmd_decode(args.infile, args.outfile, not args.no_device)
+        cmd_decode(args.infile, args.outfile, not args.no_device,
+                   args.batch_frames)
 
     if args.action == "encode-corpus":
         cmd_encode_corpus(args)
@@ -248,7 +260,7 @@ def main(argv: list[str] | None = None) -> None:
                    args.rice_partition_order, args.batch_frames,
                    args.stereo, not args.no_device,
                    args.wasted_bits, args.exact_order_search, args.stats,
-                   args.best)
+                   args.best, not args.no_escapes)
 
 
 if __name__ == "__main__":

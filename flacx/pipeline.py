@@ -40,6 +40,7 @@ def encode_chunks_to_file(f: BinaryIO, chunks, *, sample_rate: int,
                           total_samples: int | None = None,
                           batch_frames: int = 256, stereo: str = "auto",
                           device: bool = True, wasted_bits: bool = False,
+                          escapes: bool = True,
                           order_search: str = "estimate", sharding=None,
                           collect_stats: bool = False) -> dict:
     """Constant-memory encode of a PCM chunk stream into ``f`` (seekable).
@@ -85,7 +86,7 @@ def encode_chunks_to_file(f: BinaryIO, chunks, *, sample_rate: int,
             sample_rate=sample_rate, bps=bps, channels=channels,
             block_size=block_size, max_lpc_order=max_lpc_order,
             qlp_precision=qlp_precision, partition_orders=partition_orders,
-            stereo=stereo, wasted_bits=wasted_bits,
+            stereo=stereo, wasted_bits=wasted_bits, escapes=escapes,
             order_search=order_search)
         enc = BatchEncoder(cfg, batch_frames=batch_frames, sharding=sharding)
         writer.write_frames(enc.encode_frame_stream(
@@ -124,7 +125,8 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
                    max_lpc_order: int, qlp_precision: int,
                    partition_orders: tuple[int, ...], batch_frames: int = 256,
                    stereo: str = "auto", device: bool = True,
-                   wasted_bits: bool = False, order_search: str = "estimate",
+                   wasted_bits: bool = False, escapes: bool = True,
+                   order_search: str = "estimate",
                    sharding=None, collect_stats: bool = False) -> dict:
     """Encode interleaved PCM ``[frames, channels]`` into ``f`` (seekable).
 
@@ -138,7 +140,7 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
         qlp_precision=qlp_precision, partition_orders=partition_orders,
         total_samples=pcm.shape[0], batch_frames=batch_frames,
         stereo=stereo, device=device, wasted_bits=wasted_bits,
-        order_search=order_search, sharding=sharding,
+        escapes=escapes, order_search=order_search, sharding=sharding,
         collect_stats=collect_stats)
 
 

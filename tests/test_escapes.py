@@ -140,3 +140,29 @@ def test_oracle_escape_emission_roundtrip(rng):
         assert np.array_equal(np.array(list(samples)), pcm)
     finally:
         sys.path.remove("/root/reference")
+
+
+def test_cli_no_escapes_flag(tmp_path, rng):
+    import wave
+
+    from flacx.cli import main
+
+    n = 1152
+    # near-uniform high magnitudes (int16-valid): Rice k≈14 costs ~18.7
+    # bits/sample, the 17-bit escape wins
+    pcm = _burst_pcm(rng, 2 * n, 30000, 32767, slice(80, 80 + 72))
+    wav = tmp_path / "in.wav"
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    a, b = tmp_path / "esc.flac", tmp_path / "noesc.flac"
+    common = ["-b", str(n), "-l", "8", "--batch-frames", "2"]
+    main(["encode", str(wav), str(a)] + common)
+    main(["encode", str(wav), str(b), "--no-escapes"] + common)
+    assert a.stat().st_size < b.stat().st_size
+    from flacx.decoder import decode_array
+    for p in (a, b):
+        _, got = decode_array(p.read_bytes())
+        assert np.array_equal(got, pcm)
