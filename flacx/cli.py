@@ -87,28 +87,56 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
 
 
 def cmd_decode(path_in: Path, path_out: Path, device: bool = True,
-               batch_frames: int = 256) -> None:
+               batch_frames: int = 256, stream: bool = False) -> None:
     import hashlib
 
-    from flacx.decoder import decode_array
     from flacx.wavio import pcm_to_le_bytes, write_wav
 
-    data = path_in.read_bytes()
+    if stream:
+        # constant-memory path: O(readahead) regardless of file length
+        from flacx.decoder import decode_stream
+        from flacx.wavio import write_wav_chunks
 
-    time_start = timer()
-    streaminfo, pcm = decode_array(data, device=device,
-                                   batch_frames=batch_frames)
-    time_end = timer()
+        time_start = timer()
+        with open(path_in, "rb") as f:
+            streaminfo, chunks = decode_stream(f, device=device,
+                                               batch_frames=batch_frames)
+            if streaminfo.sample_size % 8:
+                raise SystemExit(
+                    "WAV output requires whole-byte sample sizes")
+            md5 = hashlib.md5()
 
-    if streaminfo.sample_size % 8:
-        raise SystemExit("WAV output requires whole-byte sample sizes")
-    if streaminfo.md5 != bytes(16):
-        got = hashlib.md5(
-            pcm_to_le_bytes(pcm, streaminfo.sample_size)).digest()
-        if got != streaminfo.md5:
+            def hashed():
+                for pcm in chunks:
+                    md5.update(pcm_to_le_bytes(pcm, streaminfo.sample_size))
+                    yield pcm
+
+            write_wav_chunks(path_out, streaminfo.sample_rate,
+                             streaminfo.sample_size, streaminfo.channels,
+                             hashed())
+        time_end = timer()
+        if streaminfo.md5 != bytes(16) and md5.digest() != streaminfo.md5:
             raise SystemExit("decoded audio MD5 mismatch")
+    else:
+        from flacx.decoder import decode_array
 
-    write_wav(path_out, streaminfo.sample_rate, streaminfo.sample_size, pcm)
+        data = path_in.read_bytes()
+
+        time_start = timer()
+        streaminfo, pcm = decode_array(data, device=device,
+                                       batch_frames=batch_frames)
+        time_end = timer()
+
+        if streaminfo.sample_size % 8:
+            raise SystemExit("WAV output requires whole-byte sample sizes")
+        if streaminfo.md5 != bytes(16):
+            got = hashlib.md5(
+                pcm_to_le_bytes(pcm, streaminfo.sample_size)).digest()
+            if got != streaminfo.md5:
+                raise SystemExit("decoded audio MD5 mismatch")
+
+        write_wav(path_out, streaminfo.sample_rate, streaminfo.sample_size,
+                  pcm)
     delta = "{0:.6g}".format(time_end - time_start)
     print(f"Decoding completed in {delta} seconds")
 
@@ -131,6 +159,10 @@ def make_argument_parser() -> ArgumentParser:
     decode.add_argument(
         "--batch-frames", type=int, default=256,
         help="Frames per device decode dispatch.", metavar="N")
+    decode.add_argument(
+        "--stream", action="store_true",
+        help="Constant-memory streaming decode: read, decode and write "
+             "in windows instead of loading the whole file.")
 
     encode = action.add_parser(ACTION_ENCODE,
                                formatter_class=ArgumentDefaultsHelpFormatter)
@@ -246,7 +278,7 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.action == ACTION_DECODE:
         cmd_decode(args.infile, args.outfile, not args.no_device,
-                   args.batch_frames)
+                   args.batch_frames, args.stream)
 
     if args.action == "encode-corpus":
         cmd_encode_corpus(args)

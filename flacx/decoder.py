@@ -415,3 +415,210 @@ def _decode_sequential(data: bytes, streaminfo: Streaminfo) -> np.ndarray:
         _, planar = read_frame(r, streaminfo)
         chunks.append(np.array(planar, np.int64).T)
     return np.concatenate(chunks, axis=0).astype(np.int32)
+
+class _RowBatchDecoder:
+    """Decode ``[F, width]`` byte-row batches of full-size frames to PCM.
+
+    Wraps the two batched paths of :func:`decode_array` — the fused device
+    program and the host lockstep parse — behind submit/resolve so the
+    streaming decoder can keep one batch in flight.  ``try_resolve``
+    returns ``None`` when both paths reject the batch (a fooled boundary
+    scan, not necessarily a bad stream): the caller re-decodes that byte
+    range sequentially.
+    """
+
+    def __init__(self, streaminfo: Streaminfo, verify_crc: bool,
+                 sharding=None):
+        self.si = streaminfo
+        self.verify_crc = verify_crc
+        self.sharding = sharding
+
+    def submit(self, rows: np.ndarray, lens: np.ndarray):
+        """Dispatch the device decode asynchronously; returns an entry."""
+        n, c = self.si.max_block_size, self.si.channels
+        shard = self.sharding
+        if shard is not None and rows.shape[0] % shard.mesh.devices.size:
+            shard = None
+        try:
+            trip = _decode_rows_device(rows, lens, n, c,
+                                       self.si.sample_size, self.verify_crc,
+                                       shard)
+        except ValueError:
+            trip = None
+        return (trip, rows, lens)
+
+    def try_resolve(self, entry) -> np.ndarray | None:
+        """Force one entry → int32 PCM ``[F·n, channels]`` (or ``None``)."""
+        trip, rows, lens = entry
+        n, c = self.si.max_block_size, self.si.channels
+        if trip is not None:
+            pcm_dev, err, crc_ok = trip
+            if not bool(err) and bool(crc_ok):
+                return np.asarray(pcm_dev).reshape(-1, c).astype(np.int32)
+        if self.verify_crc:
+            from flacx.native import crc16_rows
+            f = rows.shape[0]
+            crcs = crc16_rows(rows, (lens - 2).astype(np.int32))
+            stored = ((rows[np.arange(f), lens - 2].astype(np.uint16) << 8)
+                      | rows[np.arange(f), lens - 1])
+            if not np.array_equal(crcs, stored.astype(np.uint16)):
+                return None
+        try:
+            pcm = _decode_rows(rows, n, c, self.si.sample_size)
+        except ValueError:
+            return None
+        return pcm.reshape(-1, c).astype(np.int32)
+
+
+def decode_stream(f, batch_frames: int = 256, verify_crc: bool = True,
+                  device: bool = True, sharding=None,
+                  readahead: int = 4 << 20):
+    """Constant-memory streaming decode of a FLAC byte stream.
+
+    Returns ``(streaminfo, chunks)`` where ``chunks`` is a generator of
+    int32 ``[n_i, channels]`` PCM arrays in stream order.  Peak memory is
+    O(``readahead`` + one decoded window) regardless of file length — the
+    reference's incremental generator contract (flac/decoder.py:46-55,
+    one frame at a time) at device-batch granularity.
+
+    Each buffered window is boundary-scanned and batch-decoded on device;
+    windows the scan or batch paths reject (scan ambiguity, displaced
+    boundaries) are re-decoded sequentially by the strict oracle — always
+    strict, never wrong.  ``f`` only needs ``read()``; the stream may be
+    unseekable (a pipe).
+    """
+    head = b""
+    while True:
+        piece = f.read(1 << 16)
+        if piece:
+            head += piece
+        try:
+            streaminfo, first = parse_stream_header(head)
+            break
+        except EOFError:
+            if not piece:
+                raise FlacFormatError("truncated stream header") from None
+    n = streaminfo.max_block_size
+    c = streaminfo.channels
+    fixed_blocking = streaminfo.min_block_size == streaminfo.max_block_size
+    bdec = (_RowBatchDecoder(streaminfo, verify_crc, sharding)
+            if device and fixed_blocking else None)
+
+    def sequential_window(buf: bytes, eof: bool):
+        """Strict frame-by-frame decode of a window prefix.
+
+        Returns ``(pcm_chunks, consumed_bytes)``; stops at the first
+        frame that runs past the window (needs a refill).
+        """
+        r = BitReader(buf)
+        outs, pos = [], 0
+        while pos < len(buf):
+            try:
+                _, planar = read_frame(r, streaminfo,
+                                       verify_crc=verify_crc)
+            except EOFError:
+                if eof:
+                    raise FlacFormatError(
+                        "truncated stream (incomplete final frame)"
+                    ) from None
+                break
+            pos = r.bit_position // 8
+            outs.append(np.array(planar, np.int64).T)
+        return outs, pos
+
+    def gen():
+        buf = bytearray(head[first:])
+        eof = False
+        target = readahead
+        while True:
+            while not eof and len(buf) < target:
+                piece = f.read(max(target - len(buf), 1 << 16))
+                if not piece:
+                    eof = True
+                    break
+                buf += piece
+            if not buf:
+                return
+            window = bytes(buf)
+
+            offsets = np.asarray([], np.int64)
+            if bdec is not None:
+                try:
+                    offsets = scan_frame_offsets(window, 0, block_size=n)
+                except FlacFormatError:
+                    pass
+            # the window starts at a known frame boundary; a scan that
+            # does not see it cannot be trusted
+            batched = offsets.size > 0 and int(offsets[0]) == 0
+
+            if batched:
+                # full frames = all boundary-delimited ones; at EOF the
+                # final (possibly short) frame goes through the oracle
+                full = offsets[:-1]
+                ends = offsets[1:]
+                arr = np.frombuffer(window, np.uint8)
+                results: list[np.ndarray] = []
+                pending = None
+                failed = False
+                for lo in range(0, len(full), batch_frames):
+                    hi = min(lo + batch_frames, len(full))
+                    lens = (ends[lo:hi] - full[lo:hi]).astype(np.int64)
+                    width = (int(lens.max()) + 255) // 256 * 256
+                    rows = np.zeros((hi - lo, width), np.uint8)
+                    for i, (o, e) in enumerate(zip(full[lo:hi],
+                                                   ends[lo:hi])):
+                        rows[i, : e - o] = arr[o:e]
+                    entry = bdec.submit(rows, lens)
+                    if pending is not None:
+                        pcm = bdec.try_resolve(pending)
+                        if pcm is None:
+                            failed = True
+                            break
+                        results.append(pcm)
+                    pending = entry
+                if not failed and pending is not None:
+                    pcm = bdec.try_resolve(pending)
+                    if pcm is None:
+                        failed = True
+                    else:
+                        results.append(pcm)
+                if not failed:
+                    yield from results
+                    if eof:
+                        # drain the tail strictly: normally one (possibly
+                        # short) final frame, but a mid-window chain break
+                        # can leave several frames past the last offset
+                        tr = BitReader(window[int(offsets[-1]):])
+                        while not tr.at_eof():
+                            try:
+                                _, planar = read_frame(
+                                    tr, streaminfo, verify_crc=verify_crc)
+                            except EOFError:
+                                raise FlacFormatError(
+                                    "truncated stream (incomplete final "
+                                    "frame)") from None
+                            yield (np.array(planar, np.int64).T
+                                   .astype(np.int32))
+                        return
+                    consumed = int(offsets[-1])
+                    if consumed == 0:
+                        target *= 2           # one frame wider than window
+                        continue
+                    del buf[:consumed]
+                    target = readahead
+                    continue
+
+            # strict sequential window decode (scan rejected / displaced
+            # boundaries / host-path mismatch / non-batchable stream)
+            outs, pos = sequential_window(window, eof)
+            if pos == 0:
+                target *= 2                   # one frame wider than window
+                continue
+            if outs:
+                yield np.concatenate(outs, axis=0).astype(np.int32)
+            del buf[:pos]
+            target = readahead
+            if eof and not buf:
+                return
+
+    return streaminfo, gen()

@@ -104,3 +104,30 @@ def write_wav(path: Path | str, sample_rate: int, bps: int,
         w.setsampwidth(bps // 8)
         w.setframerate(sample_rate)
         w.writeframes(payload)
+
+
+def write_wav_chunks(path: Path | str, sample_rate: int, bps: int,
+                     channels: int, chunks) -> int:
+    """Write a stream of int32 ``[n, channels]`` PCM chunks as a WAV file.
+
+    The egress half of the constant-memory decode path: only one chunk is
+    ever materialized as bytes (the ``wave`` module patches the header
+    frame count on close, so the total length need not be known up
+    front).  Returns the number of audio frames written.
+    """
+    if bps % 8:
+        raise ValueError("WAV requires whole-byte sample sizes")
+    frames = 0
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(bps // 8)
+        w.setframerate(sample_rate)
+        for pcm in chunks:
+            payload = pcm_to_le_bytes(pcm, bps)
+            if bps == 8:  # WAV stores 8-bit audio unsigned
+                payload = (np.frombuffer(payload, np.int8)
+                           .astype(np.int16) + 128).astype(np.uint8)\
+                    .tobytes()
+            w.writeframes(payload)
+            frames += pcm.shape[0]
+    return frames

@@ -96,3 +96,116 @@ def test_wav_chunk_reader(tmp_path, rng):
     chunks = list(read_wav_chunks(path, 300))
     assert [c.shape[0] for c in chunks] == [300, 300, 300, 100]
     assert np.array_equal(np.concatenate(chunks), pcm)
+
+
+# ---------------------------------------------------------------------------
+# Streaming decode (flacx.decoder.decode_stream)
+
+class _Pipe:
+    """Unseekable read-only wrapper (a pipe: read() only, bounded pieces)."""
+
+    def __init__(self, data: bytes, piece: int = 997):
+        self._data = data
+        self._at = 0
+        self._piece = piece
+
+    def read(self, n: int = -1) -> bytes:
+        n = self._piece if n < 0 else min(n, self._piece)
+        out = self._data[self._at: self._at + n]
+        self._at += len(out)
+        return out
+
+
+def _encode_bytes(pcm, **over):
+    cfg = dict(CFG)
+    cfg.pop("batch_frames")
+    cfg.update(over)
+    buf = io.BytesIO()
+    pipeline.encode_to_file(buf, pcm, **cfg)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("n_samples, readahead", [
+    (256 * 11 + 128, 1 << 12),   # many windows + short oracle tail
+    (256 * 4, 1 << 20),          # one window, exact block multiple
+    (100, 64),                   # shorter than a block; window growth
+])
+def test_decode_stream_matches_array(rng, n_samples, readahead):
+    from flacx.decoder import decode_array, decode_stream
+
+    pcm = make_pcm(rng, n_samples, 2, 16, kind="tonal")
+    data = _encode_bytes(pcm)
+    si_ref, ref = decode_array(data, batch_frames=4)
+    si, chunks = decode_stream(_Pipe(data), batch_frames=4,
+                               readahead=readahead)
+    out = np.concatenate(list(chunks), axis=0)
+    assert si == si_ref
+    assert np.array_equal(out, ref)
+    assert np.array_equal(out, pcm)
+
+
+def test_decode_stream_window_smaller_than_frame(rng):
+    """readahead below one frame's byte size: the window must grow until
+    a full frame fits, then decode proceeds."""
+    from flacx.decoder import decode_stream
+
+    pcm = make_pcm(rng, 256 * 3, 2, 16, kind="noise")
+    data = _encode_bytes(pcm)
+    _, chunks = decode_stream(_Pipe(data, piece=37), batch_frames=4,
+                              readahead=16)
+    assert np.array_equal(np.concatenate(list(chunks), axis=0), pcm)
+
+
+def test_decode_stream_host_path(rng):
+    """device=False streams through the strict sequential window path."""
+    from flacx.decoder import decode_stream
+
+    pcm = make_pcm(rng, 256 * 5 + 31, 2, 16, kind="impulse")
+    data = _encode_bytes(pcm)
+    _, chunks = decode_stream(_Pipe(data), device=False, readahead=2048)
+    assert np.array_equal(np.concatenate(list(chunks), axis=0), pcm)
+
+
+def test_decode_stream_truncated_raises(rng):
+    from flacx.decoder import decode_stream
+    from flacx.oracle.decoder import FlacFormatError
+
+    pcm = make_pcm(rng, 256 * 4, 2, 16, kind="tonal")
+    data = _encode_bytes(pcm)
+    with pytest.raises(FlacFormatError):
+        _, chunks = decode_stream(_Pipe(data[: len(data) - 7]),
+                                  readahead=1 << 20)
+        list(chunks)
+    with pytest.raises(FlacFormatError):
+        decode_stream(_Pipe(data[:20]))  # truncated inside the header
+
+
+def test_decode_stream_corrupt_payload_raises(rng):
+    """A flipped payload byte must fail CRC in every path, not emit PCM."""
+    from flacx.decoder import decode_stream, parse_stream_header
+    from flacx.oracle.decoder import FlacFormatError
+
+    pcm = make_pcm(rng, 256 * 4, 2, 16, kind="noise")
+    data = bytearray(_encode_bytes(pcm))
+    _, first = parse_stream_header(bytes(data))
+    data[first + 40] ^= 0x55             # inside the first frame's payload
+    with pytest.raises(FlacFormatError):
+        _, chunks = decode_stream(_Pipe(bytes(data)))
+        list(chunks)
+
+
+def test_decode_stream_wav_writer_roundtrip(tmp_path, rng):
+    """CLI-equivalent plumbing: decode_stream → write_wav_chunks."""
+    from flacx.decoder import decode_stream
+    from flacx.wavio import read_wav, write_wav_chunks
+
+    pcm = make_pcm(rng, 256 * 6 + 99, 2, 16, kind="tonal")
+    data = _encode_bytes(pcm)
+    si, chunks = decode_stream(_Pipe(data), readahead=4096)
+    path = tmp_path / "out.wav"
+    n = write_wav_chunks(path, si.sample_rate, si.sample_size,
+                         si.channels, chunks)
+    assert n == pcm.shape[0]
+    sr, bps, ch, got = read_wav(path)
+    assert (sr, bps, ch) == (44100, 16, 2)
+    assert np.array_equal(got, pcm)
