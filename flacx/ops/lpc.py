@@ -31,7 +31,8 @@ def tukey_window_np(n: int, r: float = 0.5) -> np.ndarray:
     return np.asarray(tukey_window(n, r), dtype=np.float64)
 
 
-def autocorrelate(w: jnp.ndarray, max_lag: int) -> jnp.ndarray:
+def autocorrelate(w: jnp.ndarray, max_lag: int,
+                  use_tile_kernel: bool | None = None) -> jnp.ndarray:
     """Autocorrelation for lags ``0..max_lag`` over the last axis.
 
     Keeps the reference's summation range (drops the last product,
@@ -39,8 +40,27 @@ def autocorrelate(w: jnp.ndarray, max_lag: int) -> jnp.ndarray:
     Products use the input dtype (f32 is fine); accumulation is always
     f64 — the Levinson recursion amplifies accumulation error but not
     per-product rounding.  Returns ``[..., max_lag+1]`` f64.
+
+    ``use_tile_kernel`` routes f32 inputs through the single-pass Pallas
+    kernel (``flacx.kernels.autocorr_tile``) instead of one XLA fusion
+    per lag; None = auto (TPU backend only).  The kernel keeps f64
+    cross-tile accumulation; within a 512-sample tile partial sums are
+    f32 pairwise — the same rounding class as the f32 products
+    themselves, so coefficient choices are unchanged in practice (and
+    always revalidated by the exact integer residuals).
     """
     n = w.shape[-1]
+    if use_tile_kernel is None:
+        use_tile_kernel = jax.default_backend() == "tpu"
+    lead = w.shape[:-1]
+    r = 1
+    for d in lead:
+        r *= d
+    if (use_tile_kernel and w.dtype == jnp.float32 and max_lag < 63
+            and r % 128 == 0 and n >= 2):
+        from flacx.kernels.autocorr_tile import autocorr_tiled
+        v = w.reshape(r, n).at[:, n - 1].set(0.0)   # drop-last-product range
+        return autocorr_tiled(v, max_lag).reshape(*lead, max_lag + 1)
     cols = [jnp.sum(w[..., : n - lag - 1] * w[..., lag: n - 1], axis=-1,
                     dtype=jnp.float64)
             for lag in range(max_lag + 1)]

@@ -84,3 +84,40 @@ def test_merge_strings_full_packer_vs_xla_tree(rng):
                           got_words >> 8, got_words],
                          axis=-1).astype(np.uint8).reshape(f, -1)
     np.testing.assert_array_equal(got_bytes, want_bytes)
+
+
+# ---------------------------------------------------------------------------
+# Single-pass autocorrelation kernel vs the per-lag XLA formulation
+
+
+@pytest.mark.parametrize("r, n, max_lag", [
+    (128, 700, 12),      # ragged tile boundary, two tiles
+    (128, 512, 32),      # exactly one tile, hi-res lag count
+    (256, 4608, 12),     # flagship block size, nine tiles
+    (128, 3, 2),         # shorter than one tile
+])
+def test_autocorr_tiled_matches_xla(rng, r, n, max_lag):
+    from flacx.kernels.autocorr_tile import autocorr_tiled
+    from flacx.ops.lpc import autocorrelate
+
+    w = jnp.asarray((rng.standard_normal((r, n)) * 1000).astype(np.float32))
+    want = np.asarray(autocorrelate(w, max_lag, use_tile_kernel=False))
+    v = w.at[:, n - 1].set(0.0)
+    got = np.asarray(autocorr_tiled(v, max_lag, interpret=_interpret()))
+    np.testing.assert_allclose(got, want, rtol=2e-6,
+                               atol=np.abs(want).max() * 2e-7)
+
+
+def test_autocorrelate_kernel_gate(rng):
+    """The auto gate routes f32 TPU-shaped inputs through the kernel and
+    leaves f64 (exact-mode) inputs on the per-lag XLA path; both agree."""
+    from flacx.ops.lpc import autocorrelate
+
+    w = jnp.asarray((rng.standard_normal((2, 4, 600)) * 500)
+                    .astype(np.float32))
+    via_kernel = np.asarray(autocorrelate(w, 8, use_tile_kernel=True)) \
+        if _interpret() is False else None  # kernel needs TPU off-interpret
+    plain = np.asarray(autocorrelate(w, 8, use_tile_kernel=False))
+    assert plain.shape == (2, 4, 9) and plain.dtype == np.float64
+    if via_kernel is not None:
+        np.testing.assert_allclose(via_kernel, plain, rtol=2e-6)
