@@ -9,11 +9,20 @@ without disturbing that surface.
 
 from __future__ import annotations
 
+import os
 from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser
 from pathlib import Path
 from timeit import default_timer as timer
 
 from flacx.utils import argparse_range
+
+# Persist compiled XLA programs across CLI invocations (compiles dominate
+# cold-start wall time on TPU backends; harmless elsewhere).  Must be set
+# before the first jax import, which the CLI defers until a command runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.expanduser("~"), ".cache",
+                                   "flacx", "xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
 
 ACTION_ENCODE = "encode"
 ACTION_DECODE = "decode"

@@ -84,25 +84,32 @@ def pack_symbols(values: jnp.ndarray, lengths: jnp.ndarray,
     b, s = values.shape
     cap_words = max_bytes // 4
 
-    # pad slot count to a power of two
-    s_pow = 1
-    while s_pow < s:
-        s_pow <<= 1
-    if s_pow != s:
-        values = jnp.pad(values, ((0, 0), (0, s_pow - s)))
-        lengths = jnp.pad(lengths, ((0, 0), (0, s_pow - s)))
-
     if use_tile_kernel is None:
         use_tile_kernel = jax.default_backend() == "tpu"
 
     from flacx.kernels.bitpack_tile import (LANES, TILE, merge_strings,
                                             merge_tiles)
-    if (use_tile_kernel and s_pow >= TILE
-            and (b * s_pow // TILE) % LANES == 0):
-        n_tiles = b * s_pow // TILE
+    # tile path: pad only to whole 512-symbol tiles (the power-of-two
+    # requirement applies to tile STRINGS, which are padded with empty
+    # strings after the in-VMEM merge — at batch 1024/block 4608 this
+    # keeps 13 provably-empty tiles per frame out of the lower kernel)
+    s_tiles = -(-s // TILE)
+    if (use_tile_kernel and s >= TILE and (b * s_tiles) % LANES == 0):
+        if s_tiles * TILE != s:
+            values = jnp.pad(values, ((0, 0), (0, s_tiles * TILE - s)))
+            lengths = jnp.pad(lengths, ((0, 0), (0, s_tiles * TILE - s)))
+        n_tiles = b * s_tiles
         tw, tb = merge_tiles(values.reshape(n_tiles, TILE),
                              lengths.reshape(n_tiles, TILE))
-        n_strings = s_pow // TILE
+        n_strings = 1
+        while n_strings < s_tiles:
+            n_strings <<= 1
+        if n_strings != s_tiles:
+            tw = jnp.pad(tw.reshape(b, s_tiles, TILE),
+                         ((0, 0), (0, n_strings - s_tiles), (0, 0))
+                         ).reshape(b * n_strings, TILE)
+            tb = jnp.pad(tb.reshape(b, s_tiles),
+                         ((0, 0), (0, n_strings - s_tiles))).reshape(-1)
         # VMEM-adaptive lane count: peak live set ≈ 3 arrays of
         # rows·lanes·4 B; keep it well under the ~16 MB VMEM budget
         rows = n_strings * TILE
@@ -128,6 +135,14 @@ def pack_symbols(values: jnp.ndarray, lengths: jnp.ndarray,
         bits = tb.reshape(b, n_strings)
         cap = TILE
     else:
+        # non-tile path merges pairwise from single symbols: pad the slot
+        # count to a power of two so every level halves evenly
+        s_pow = 1
+        while s_pow < s:
+            s_pow <<= 1
+        if s_pow != s:
+            values = jnp.pad(values, ((0, 0), (0, s_pow - s)))
+            lengths = jnp.pad(lengths, ((0, 0), (0, s_pow - s)))
         # level 0: MSB-align each value in one word
         l32 = lengths.astype(jnp.uint32)
         words = jnp.where(lengths > 0,
