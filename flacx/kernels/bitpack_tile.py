@@ -54,13 +54,17 @@ def _tile_kernel(values_ref, lengths_ref, words_ref, bits_ref):
         r = (delta & 31).astype(jnp.uint32)
 
         odd = jnp.where(is_odd, buf, jnp.uint32(0))
-        # word-granularity move: staged static rolls; sources from another
-        # region are masked off (their rows read as zero)
+        # word-granularity move: staged static rolls.  Cross-region
+        # contamination (region j's partially-shifted odd data read by
+        # region j-1's tail rows) requires t + a_j > span with a_j < t,
+        # i.e. 2t > span — impossible for power-of-two t except the final
+        # t = span step, so only that step masks off foreign regions.
         t = 1
         while t <= span:
-            same_region = ((row + t) >> (k + 1)) == (row >> (k + 1))
-            rolled = jnp.where(same_region, pltpu.roll(odd, jnp.int32(TILE - t), axis=0),
-                               jnp.uint32(0))
+            rolled = pltpu.roll(odd, jnp.int32(TILE - t), axis=0)
+            if t == span:
+                same_region = ((row + t) >> (k + 1)) == (row >> (k + 1))
+                rolled = jnp.where(same_region, rolled, jnp.uint32(0))
             odd = jnp.where((w & t) != 0, rolled, odd)
             t <<= 1
         # bit-granularity: shift left by r with carry from the next row
@@ -114,19 +118,19 @@ def _upper_kernel(n_strings: int, lanes: int, cap0: int, out_rows: int,
             delta = r_in * 32 - la               # upward shift of B, bits
             w = (delta >> 5)[None, :]
             rbits = (delta & 31).astype(jnp.uint32)[None, :]
-            row2 = jax.lax.broadcasted_iota(jnp.int32, (2 * r_in, lanes), 0)
             od = jnp.concatenate(
                 [jnp.zeros((r_in, lanes), jnp.uint32),
                  buf[r0 + r_in: r0 + 2 * r_in]], axis=0)
+            # cyclic rolls need no wrap masks: a wrapped source row lies in
+            # [0, t), which stays zero because the applied shift obeys
+            # a + t <= w <= r_in; the carry roll (by 1) only contributes
+            # where rbits > 0, which forces a < r_in, keeping row 0 zero.
             t = 1
             while t <= r_in:
                 rolled = pltpu.roll(od, jnp.int32(2 * r_in - t), axis=0)
-                rolled = jnp.where(row2 >= 2 * r_in - t, jnp.uint32(0),
-                                   rolled)
                 od = jnp.where((w & t) != 0, rolled, od)
                 t <<= 1
             nxt = pltpu.roll(od, jnp.int32(2 * r_in - 1), axis=0)
-            nxt = jnp.where(row2 >= 2 * r_in - 1, jnp.uint32(0), nxt)
             od = jnp.where(rbits > 0,
                            (od << rbits) | (nxt >> ((32 - rbits) & 31)), od)
             merged = od[:r_out]
