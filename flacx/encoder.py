@@ -248,8 +248,7 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         # under exact/auto for reference-grade coefficient choices); the
         # autocorr accumulation and Levinson recursion are always f64
         w32 = jnp.asarray(tukey_window_np(n).astype(adt))
-        xw = x_v.astype(adt) * w32
-        autoc = autocorrelate(xw, p)
+        autoc = autocorrelate(x_v.astype(adt), p, window=w32)
         taps_f, lpc_err, valid_ld = levinson_all_orders(autoc, p)
         qcoefs, qshifts, valid_q = quantize_all_orders(taps_f, prec)
         lpc_valid = valid_ld & valid_q                          # [B,V,P]

@@ -4,14 +4,18 @@ The XLA formulation (``flacx.ops.lpc.autocorrelate``) issues one
 product+reduce fusion per lag, each re-streaming the whole windowed
 signal from HBM with emulated-f64 accumulation — at batch 1024 / order
 12 that is 13 × 75 MB ≈ 1 GB of traffic and ~4 ms of the 16.6 ms encode
-module (profiled round 2).  Here the signal is read ONCE: rows sit on
-lanes and samples on sublanes (lag shifts are then cheap static sublane
-slices — the same layout trick as ``bitpack_tile``), each VMEM tile
-computes every lag's partial product-sum against a small sublane
-lookahead, and the tiny per-tile partials ``[tiles, lags, rows]`` are
-combined in f64 by XLA afterwards — preserving the "products in f32,
-accumulation in f64 (pairwise)" numerics contract of the XLA path to
-within ordinary reduction-order rounding.
+module (profiled round 2).  Here the signal is read ONCE: blocks arrive
+in their natural row-major layout (rows on sublanes, samples on lanes)
+and are transposed **in VMEM** to the compute layout (samples on
+sublanes — lag shifts are then cheap static sublane slices, the same
+trick as ``bitpack_tile``); the apodization window is multiplied inside
+the kernel, so neither the windowed signal nor its transpose is ever
+materialized in HBM.  Each tile computes every lag's partial
+product-sum against a small sublane lookahead, and the tiny per-tile
+partials ``[tiles, lags, rows]`` are combined in f64 by XLA afterwards —
+preserving the "products in f32, accumulation in f64 (pairwise)"
+numerics contract of the XLA path to within ordinary reduction-order
+rounding.
 
 Replaces the hot loop of the reference's per-lag ``autocorrelation``
 (flac/encoder.py:443-450) on the device path.
@@ -26,24 +30,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512          # samples per tile (sublane axis)
-LANES = 128         # rows (subframes) per block (lane axis)
+TILE = 512          # samples per tile (compute sublane axis)
+LANES = 128         # rows (subframes) per block (compute lane axis)
 MAX_LAGS = 64       # sublane lookahead budget (FLAC needs ≤ 33)
 
 
-def _autocorr_kernel(n_lags: int, lag_sub: int, cur_ref, nxt_ref, out_ref):
-    cur = cur_ref[...]                         # [TILE, LANES] f32
-    ext = jnp.concatenate([cur, nxt_ref[...][:MAX_LAGS]], axis=0)
+def _autocorr_kernel(n_lags: int, lag_sub: int, n_tiles: int,
+                     x_ref, nxt_ref, w_ref, wn_ref, out_ref):
+    j = pl.program_id(1)
+    # window-multiply in the natural [LANES, TILE] layout, transpose in
+    # VMEM to the [TILE, LANES] compute layout
+    cur = (x_ref[...] * w_ref[...]).T            # [TILE, LANES] f32
+    look = (nxt_ref[...] * wn_ref[...]).T[:MAX_LAGS]
+    # the final tile has no lookahead (its block index is clamped)
+    look = look * (j != n_tiles - 1).astype(jnp.float32)
+    ext = jnp.concatenate([cur, look], axis=0)
 
     parts = []
     for lag in range(n_lags):
         parts.append(jnp.sum(cur * ext[lag: lag + TILE], axis=0))
-    acc = jnp.stack(parts, axis=0)             # [n_lags, LANES]
+    acc = jnp.stack(parts, axis=0)               # [n_lags, LANES]
     out_ref[0, :, :] = jnp.pad(acc, ((0, lag_sub - n_lags), (0, 0)))
 
 
 @functools.partial(jax.jit, static_argnames=("max_lag", "interpret"))
 def autocorr_tiled(v: jnp.ndarray, max_lag: int,
+                   window: jnp.ndarray | None = None,
                    interpret: bool = False) -> jnp.ndarray:
     """Autocorrelation lags ``0..max_lag`` of zero-padded rows.
 
@@ -51,8 +63,11 @@ def autocorr_tiled(v: jnp.ndarray, max_lag: int,
       v: ``[R, N]`` f32 rows (``R`` a multiple of 128).  Plain
         zero-padded autocorrelation ``Σ_i v[i]·v[i+lag]`` — callers
         wanting the reference's drop-last-product range zero the final
-        sample first.
+        sample (or final window element) first.
       max_lag: largest lag (``< MAX_LAGS``).
+      window: optional ``[N]`` f32 apodization window, multiplied
+        element-wise inside the kernel (the windowed signal is never
+        materialized).
     Returns:
       ``[R, max_lag+1]`` f64.
     """
@@ -62,17 +77,29 @@ def autocorr_tiled(v: jnp.ndarray, max_lag: int,
     lag_sub = -(-n_lags // 8) * 8              # sublane-aligned lag rows
 
     n_tiles = -(-n // TILE)
-    # samples on sublanes, rows on lanes; one lookahead tile of zeros
-    vt = jnp.pad(v, ((0, 0), (0, (n_tiles + 1) * TILE - n))).T
+    if window is None:
+        window = jnp.ones((n,), jnp.float32)
+    window = window.astype(jnp.float32)
+    if n_tiles * TILE != n:
+        v = jnp.pad(v, ((0, 0), (0, n_tiles * TILE - n)))
+        window = jnp.pad(window, (0, n_tiles * TILE - n))
+    w2 = window[None, :]                       # [1, N]
 
-    grid = (r // LANES, n_tiles)
+    nt = n_tiles
+    grid = (r // LANES, nt)
+    nxt_map = lambda i, j: (i, jnp.minimum(j + 1, nt - 1))
     out = pl.pallas_call(
-        functools.partial(_autocorr_kernel, n_lags, lag_sub),
+        functools.partial(_autocorr_kernel, n_lags, lag_sub, nt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, LANES), lambda i, j: (j, i),
+            pl.BlockSpec((LANES, TILE), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, LANES), lambda i, j: (j + 1, i),
+            pl.BlockSpec((LANES, TILE), nxt_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i, j: (i - i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE),
+                         lambda i, j: (i - i, jnp.minimum(j + 1, nt - 1)),
                          memory_space=pltpu.VMEM),
         ],
         # lane index is i-i, not 0: an i64 literal (under x64) fails
@@ -80,9 +107,9 @@ def autocorr_tiled(v: jnp.ndarray, max_lag: int,
         out_specs=pl.BlockSpec((1, lag_sub, LANES),
                                lambda i, j: (j, i - i, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, lag_sub, r), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nt, lag_sub, r), jnp.float32),
         interpret=interpret,
-    )(vt, vt)
+    )(v, v, w2, w2)
 
     # cross-tile combine in f64 — the accumulation dtype contract
     return jnp.sum(out[:, :n_lags, :], axis=0, dtype=jnp.float64).T

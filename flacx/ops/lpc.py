@@ -32,7 +32,8 @@ def tukey_window_np(n: int, r: float = 0.5) -> np.ndarray:
 
 
 def autocorrelate(w: jnp.ndarray, max_lag: int,
-                  use_tile_kernel: bool | None = None) -> jnp.ndarray:
+                  use_tile_kernel: bool | None = None,
+                  window: jnp.ndarray | None = None) -> jnp.ndarray:
     """Autocorrelation for lags ``0..max_lag`` over the last axis.
 
     Keeps the reference's summation range (drops the last product,
@@ -40,6 +41,11 @@ def autocorrelate(w: jnp.ndarray, max_lag: int,
     Products use the input dtype (f32 is fine); accumulation is always
     f64 — the Levinson recursion amplifies accumulation error but not
     per-product rounding.  Returns ``[..., max_lag+1]`` f64.
+
+    ``window``: optional ``[n]`` apodization window.  When given, ``w``
+    is the RAW signal and the window multiply happens inside the Pallas
+    kernel (neither the windowed signal nor its transpose is ever
+    materialized in HBM; drop-last is folded into the window constant).
 
     ``use_tile_kernel`` routes f32 inputs through the single-pass Pallas
     kernel (``flacx.kernels.autocorr_tile``) instead of one XLA fusion
@@ -59,8 +65,16 @@ def autocorrelate(w: jnp.ndarray, max_lag: int,
     if (use_tile_kernel and w.dtype == jnp.float32 and max_lag < 63
             and r % 128 == 0 and n >= 2):
         from flacx.kernels.autocorr_tile import autocorr_tiled
-        v = w.reshape(r, n).at[:, n - 1].set(0.0)   # drop-last-product range
-        return autocorr_tiled(v, max_lag).reshape(*lead, max_lag + 1)
+        v = w.reshape(r, n)
+        if window is None:
+            v = v.at[:, n - 1].set(0.0)         # drop-last-product range
+            win = None
+        else:
+            win = window.astype(jnp.float32).at[n - 1].set(0.0)
+        return autocorr_tiled(v, max_lag, window=win
+                              ).reshape(*lead, max_lag + 1)
+    if window is not None:
+        w = w * window.astype(w.dtype)
     cols = [jnp.sum(w[..., : n - lag - 1] * w[..., lag: n - 1], axis=-1,
                     dtype=jnp.float64)
             for lag in range(max_lag + 1)]
