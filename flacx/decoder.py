@@ -184,7 +184,7 @@ def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
         x = reconstruct_predicted(
             res, taps[:, :, :t], shift, order,
             dtype=jnp.int32 if use_i32 else jnp.int64)
-        x = x << wasted[..., None].astype(jnp.int64)
+        x = x << wasted[..., None].astype(x.dtype)
         if c == 2:
             left, right = undo_decorrelation(x[:, 0], x[:, 1], channel_code)
             x = jnp.stack([left, right], axis=1)
@@ -388,7 +388,7 @@ def _decode_rows(rows: np.ndarray, n: int, c: int, bps: int) -> np.ndarray:
     shift = jnp.asarray(parsed.shift.astype(np.int32))
     order = jnp.asarray(parsed.order.astype(np.int32))
     x = reconstruct_predicted(res, taps, shift, order)
-    x = x << jnp.asarray(parsed.wasted)[..., None].astype(jnp.int64)
+    x = x << jnp.asarray(parsed.wasted)[..., None].astype(x.dtype)
 
     if c == 2:
         left, right = undo_decorrelation(

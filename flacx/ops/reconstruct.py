@@ -17,7 +17,7 @@ from flacx.format import Channels
 
 def reconstruct_predicted(residual: jnp.ndarray, taps: jnp.ndarray,
                           shift: jnp.ndarray, order: jnp.ndarray,
-                          dtype=jnp.int64, unroll: int = 8) -> jnp.ndarray:
+                          dtype=jnp.int64, unroll: int = 32) -> jnp.ndarray:
     """Rebuild samples from residuals for fixed/LPC subframes.
 
     Args:
@@ -34,27 +34,35 @@ def reconstruct_predicted(residual: jnp.ndarray, taps: jnp.ndarray,
         64-bit integers are emulated.
       unroll: scan unroll factor (per-step overhead amortization).
     Returns:
-      ``[..., n]`` int64 reconstructed samples.
+      ``[..., n]`` reconstructed samples in ``dtype``.
     """
     t = taps.shape[-1]
     n = residual.shape[-1]
     lead = residual.shape[:-1]
     taps_w = taps[..., ::-1].astype(dtype)
     shift_w = shift.astype(dtype)
-    residual = residual.astype(dtype)
+    # Feed residuals as scan inputs ([n, ...lead] layout) rather than
+    # dynamic-slicing residual[..., i] each step: the per-step slice copy
+    # costs as much as the IIR math itself on TPU (profiled ~3.8 ms of a
+    # ~11 ms decode batch; the xs form measures 2.6 vs 4.5 ms/batch).
+    res_t = jnp.moveaxis(residual.astype(dtype), -1, 0)
 
     # state: window of the last T samples, window[..., -1] = x[i-1]
     win0 = jnp.zeros((*lead, t), dtype)
 
-    def step(win, i):
+    def step(win, xin):
+        r, i = xin
         acc = jnp.sum(win * taps_w, axis=-1, dtype=dtype)
         pred = jnp.right_shift(acc, shift_w)
-        x = residual[..., i] + jnp.where(i >= order, pred, 0)
+        x = r + jnp.where(i >= order, pred, 0)
         win = jnp.concatenate([win[..., 1:], x[..., None]], axis=-1)
         return win, x
 
-    _, xs = jax.lax.scan(step, win0, jnp.arange(n), unroll=unroll)
-    return jnp.moveaxis(xs, 0, -1).astype(jnp.int64)
+    # Stay in the working dtype: the int32 fast path keeps every
+    # downstream stage (wasted-bits shift, decorrelation, transpose)
+    # out of emulated-64-bit VPU code; callers cast if they need i64.
+    _, xs = jax.lax.scan(step, win0, (res_t, jnp.arange(n)), unroll=unroll)
+    return jnp.moveaxis(xs, 0, -1)
 
 
 def undo_decorrelation(ch0: jnp.ndarray, ch1: jnp.ndarray,

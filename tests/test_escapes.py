@@ -26,7 +26,13 @@ from flacx.oracle.encoder import (EncoderParameters, serialize_metadata_header,
 def _burst_pcm(rng, n_samples: int, lo: int, hi: int,
                burst: slice) -> np.ndarray:
     """Quiet stereo noise with one channel-0 burst of near-full-scale
-    noise (unpredictable, near-uniform magnitude → escape territory)."""
+    noise (unpredictable, near-uniform magnitude → escape territory).
+
+    Magnitudes must stay within the declared bps (int16 here): samples
+    outside [-2^15, 2^15) are invalid input for a 16-bit stream — the
+    encoder writes warm-up/verbatim samples in bps-bit fields, so
+    out-of-range values wrap by ±65536 (garbage in, garbage out; the
+    reference encoder behaves the same)."""
     pcm = rng.integers(-3, 4, size=(n_samples, 2)).astype(np.int32)
     width = burst.stop - burst.start
     mag = rng.integers(lo, hi, size=width)
@@ -73,7 +79,7 @@ def test_device_escape_beats_rice_and_verbatim_and_roundtrips(rng):
     chooses the better of capped-Rice and verbatim), decoded bit-exactly
     by flacx's batch decoder, the strict oracle AND the reference."""
     n = 1152
-    pcm = _burst_pcm(rng, 2 * n, 1 << 15, 1 << 16, slice(100, 100 + 72))
+    pcm = _burst_pcm(rng, 2 * n, 30000, 32768, slice(100, 100 + 72))
 
     stream_esc = _encode_stream(pcm, True, n)
     stream_rice = _encode_stream(pcm, False, n)
@@ -101,7 +107,7 @@ def test_device_escape_stream_parses_with_host_parsers(rng):
     """Both host-side frame parsers (native C++ and numpy lockstep) must
     walk escaped partitions; exercised via the sequential decoder too."""
     n = 1152
-    pcm = _burst_pcm(rng, n, 1 << 15, 1 << 16, slice(0, 144))
+    pcm = _burst_pcm(rng, n, 30000, 32768, slice(0, 144))
     stream = _encode_stream(pcm, True, n)
     from flacx.decoder import decode_array
     _, got = decode_array(stream, batch_frames=1)
@@ -113,7 +119,7 @@ def test_oracle_escape_emission_roundtrip(rng):
     from flacx.oracle.decoder import decode_stream
 
     n = 1152
-    pcm = _burst_pcm(rng, n, 1 << 15, 1 << 16, slice(36, 36 + 72))
+    pcm = _burst_pcm(rng, n, 30000, 32768, slice(36, 36 + 72))
     planar = [list(map(int, pcm[:, c])) for c in range(2)]
     from flacx.format import INDEPENDENT_CHANNELS
     layout = INDEPENDENT_CHANNELS[2]
