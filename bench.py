@@ -117,13 +117,39 @@ def main() -> None:
          scan.ckpt_param, scan.ckpt_esc, scan.ckpt_inesc))
     out = dfn(*dargs)
     jax.block_until_ready(out)                       # compile + warm
-    t0 = time.time()
-    reps = 3
-    outs = [dfn(*dargs) for _ in range(reps)]
-    jax.block_until_ready(outs)
-    dec_sps = n * b * 2 * reps / (time.time() - t0)
-    pcm_dev, derr, dcrc = outs[-1]
+    pcm_dev, derr, dcrc = out
     assert not bool(derr) and bool(dcrc), "device decode error/CRC fail"
+
+    # Same slope methodology as encode below: K decode batches per dispatch
+    # via lax.fori_loop.  A runtime-zero, accumulator-dependent perturbation
+    # of `wasted` keeps the decoded PCM identical while defeating
+    # loop-invariant code motion; the PCM checksum keeps every batch live.
+    def dec_many(iters):
+        def f(*args):
+            (rows, lens_, cc, kind, order, shift, wasted, po, width_, taps,
+             warm, cval, cpos, cparam, cesc, cinesc) = args
+
+            def body(i, acc):
+                z = jnp.where(acc == jnp.int64(-1), 1, 0).astype(wasted.dtype)
+                p, e, _ = dfn(rows, lens_, cc, kind, order, shift,
+                              wasted + z, po, width_, taps, warm, cval,
+                              cpos, cparam, cesc, cinesc)
+                return acc + jnp.sum(p, dtype=jnp.int64) + e.astype(jnp.int64)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
+
+        return jax.jit(f)
+
+    d_small, d_big = dec_many(2), dec_many(10)
+    int(d_small(*dargs))                             # warm
+    int(d_big(*dargs))
+    t0 = time.time()
+    int(d_small(*dargs))
+    td_small = time.time() - t0
+    t0 = time.time()
+    int(d_big(*dargs))
+    td_big = time.time() - t0
+    dec_sps = n * b * 2 / ((td_big - td_small) / 8)
 
     # -- steady-state throughput: K full encode batches per dispatch via
     # lax.fori_loop (each iteration perturbs the PCM and advances the
