@@ -108,8 +108,10 @@ def main() -> None:
     span = 64 + int(np.diff(scan.ckpt_pos, axis=-1).max())
     sw = next(x for x in (8, 12, 16, 24, 32, 48, 64, 96, 128)
               if x >= span // 32 + 4)
+    fixed_max = (int(scan.order.max())
+                 if bool((scan.kind <= 2).all()) else None)
     dfn = _device_decode_fn(n, 2, 16, scan.ckpt_interval, t_bucket, sw,
-                            use_i32, True)
+                            use_i32, True, fixed_max=fixed_max)
     dargs = jax.device_put(
         (rows8, dlens.astype(np.int32), scan.channel_code, scan.kind,
          scan.order, scan.shift, scan.wasted, scan.po, scan.width,

@@ -139,7 +139,7 @@ _DEVICE_FNS: dict = {}
 
 def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
                       span_words: int, use_i32: bool, verify_crc: bool,
-                      sharding=None):
+                      sharding=None, fixed_max: int | None = None):
     """Build (and cache) the jitted rows→PCM decode pipeline.
 
     One fused XLA program: byte rows → u32 words → parallel bit-unpack
@@ -147,11 +147,18 @@ def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
     reconstruction → stereo undecorrelation → wasted-bits restore →
     device CRC-16 verification (``flacx.ops.crcfold``).
 
+    ``fixed_max`` (static) is set when the whole batch is
+    constant/verbatim/fixed subframes: reconstruction then runs as
+    ``fixed_max`` nested masked cumsums (fully parallel) instead of the
+    sample-serial scan — fixed predictors are finite differences, so no
+    IIR is needed.
+
     ``sharding`` (a NamedSharding over the leading frame axis) runs the
     decode data-parallel over a device mesh — every input is per-frame,
     so the only collectives are the scalar err/crc all-reduces.
     """
-    key = (n, c, bps, s, t, span_words, use_i32, verify_crc, sharding)
+    key = (n, c, bps, s, t, span_words, use_i32, verify_crc, sharding,
+           fixed_max)
     if key in _DEVICE_FNS:
         return _DEVICE_FNS[key]
     import jax
@@ -159,7 +166,8 @@ def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
 
     from flacx.ops.bitunpack import bytes_to_words, parse_residual_chunks
     from flacx.ops.crcfold import crc16_over_rows
-    from flacx.ops.reconstruct import (reconstruct_predicted,
+    from flacx.ops.reconstruct import (reconstruct_fixed_parallel,
+                                       reconstruct_predicted,
                                        undo_decorrelation)
 
     def fn(rows, lens, channel_code, kind, order, shift, wasted, po, width,
@@ -181,9 +189,14 @@ def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
             # anomalously large residuals punt the batch to the i64 host
             # path via the error flag
             err = err | jnp.any(jnp.abs(vals) > (1 << min(bps + 3, 29)))
-        x = reconstruct_predicted(
-            res, taps[:, :, :t], shift, order,
-            dtype=jnp.int32 if use_i32 else jnp.int64)
+        if fixed_max is not None:
+            x = reconstruct_fixed_parallel(
+                res, order, fixed_max,
+                dtype=jnp.int32 if use_i32 else jnp.int64)
+        else:
+            x = reconstruct_predicted(
+                res, taps[:, :, :t], shift, order,
+                dtype=jnp.int32 if use_i32 else jnp.int64)
         x = x << wasted[..., None].astype(x.dtype)
         if c == 2:
             left, right = undo_decorrelation(x[:, 0], x[:, 1], channel_code)
@@ -259,8 +272,11 @@ def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
     if span_words is None:
         return None
 
+    # all-fixed batches (kinds 0/1/2: constant, verbatim, fixed — shift is
+    # always 0, taps binomial) reconstruct via parallel cumsums, no scan
+    fixed_max = int(max_order) if bool((scan.kind <= 2).all()) else None
     fn = _device_decode_fn(n, c, bps, scan.ckpt_interval, t, span_words,
-                           use_i32, verify_crc, sharding)
+                           use_i32, verify_crc, sharding, fixed_max)
     # returned WITHOUT forcing: the caller defers the err/crc sync by one
     # batch so the next batch's host structure walk overlaps this batch's
     # device compute

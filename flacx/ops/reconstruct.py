@@ -65,6 +65,49 @@ def reconstruct_predicted(residual: jnp.ndarray, taps: jnp.ndarray,
     return jnp.moveaxis(xs, 0, -1)
 
 
+def reconstruct_fixed_parallel(residual: jnp.ndarray, order: jnp.ndarray,
+                               max_order: int,
+                               dtype=jnp.int32) -> jnp.ndarray:
+    """Fully parallel reconstruction for constant/verbatim/FIXED subframes.
+
+    A fixed order-k predictor is the k-th finite difference
+    (flac/common.py:15-21 taps are the binomial rows, shift always 0), so
+    its inverse is k nested integrations — ``cumsum``s, not a sample-serial
+    scan.  Two phases over ``a`` (= residual array with warmup samples in
+    positions ``i < order``):
+
+      1. difference triangle on the warmup prefix: after pass j, position
+         ``i ∈ [j, order)`` holds Δʲ x[i]; on completion position i holds
+         Δⁱ x[i] — the integration constant for level i.
+      2. suffix integrations j = max_order-1 … 0: positions ``i ≥ j`` are
+         replaced by their running sum (prefix masked out of the sum),
+         applied only to lanes with ``order > j``.
+
+    Every partial sum equals a j-th difference of true samples, bounded by
+    ``2^(eff_bps + j + 1)`` — so the int32 fast path is exact whenever the
+    scan path's ``use_i32`` criterion holds (Σ|taps| ≤ 15 for fixed).
+
+    Args:
+      residual: ``[..., n]`` int — warmup in positions ``i < order``.
+      order: ``[...]`` int32, 0..4 (0 for constant/verbatim lanes).
+      max_order: static upper bound on ``order`` (pass count).
+    Returns:
+      ``[..., n]`` reconstructed samples in ``dtype``.
+    """
+    n = residual.shape[-1]
+    a = residual.astype(dtype)
+    i = jnp.arange(n, dtype=jnp.int32)
+    ord_ = order[..., None].astype(jnp.int32)
+
+    for j in range(1, max_order):          # difference triangle (phase 1)
+        d = a - jnp.roll(a, 1, axis=-1)
+        a = jnp.where((i >= j) & (i < ord_), d, a)
+    for j in range(max_order - 1, -1, -1):  # suffix integrations (phase 2)
+        cs = jnp.cumsum(jnp.where(i >= j, a, 0), axis=-1, dtype=dtype)
+        a = jnp.where((i >= j) & (ord_ > j), cs, a)
+    return a
+
+
 def undo_decorrelation(ch0: jnp.ndarray, ch1: jnp.ndarray,
                        mode: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Invert stereo decorrelation per frame.

@@ -435,3 +435,44 @@ def test_device_decode_long_unary_falls_back(rng, monkeypatch):
     want = np.zeros((n, 1), np.int32)
     want[0, 0] = 35          # zigzag_decode(70)
     np.testing.assert_array_equal(got, want)
+
+
+def test_device_decode_fixed_only_parallel_path(rng, monkeypatch):
+    """An all-fixed batch must decode through the parallel cumsum
+    reconstruction (no sample-serial scan), bit-exactly, with the host
+    and sequential fallbacks disabled."""
+    import flacx.decoder as dec
+    import flacx.native as native
+    import flacx.ops.reconstruct as rec
+    if native.lib() is None:
+        pytest.skip("native walker unavailable")
+
+    def boom(*a, **k):
+        raise AssertionError("unexpected path used")
+
+    monkeypatch.setattr(dec, "_decode_rows", boom)
+    monkeypatch.setattr(dec, "_decode_sequential", boom)
+    # the scan must not be traced at all for a fixed-only batch
+    monkeypatch.setattr(rec, "reconstruct_predicted", boom)
+
+    from flacx.encoder import BatchEncoder, EncoderConfig
+    from flacx.format import MAGIC, MetadataBlockType, Streaminfo
+    from flacx.oracle.encoder import (serialize_metadata_header,
+                                      serialize_streaminfo)
+
+    n, b = 384, 6
+    pcm = make_pcm(rng, n * b, 2, 16, "tonal")
+    cfg = EncoderConfig(block_size=n, max_lpc_order=0)  # fixed-only encode
+    enc = BatchEncoder(cfg, batch_frames=b)
+    planar = pcm.reshape(b, n, 2).transpose(0, 2, 1).astype(np.int32)
+    result = enc.encode_batch_device(planar, 0)
+    lens = np.asarray(result["length"])
+    data = np.asarray(result["bytes"])
+    stream = (MAGIC
+              + serialize_metadata_header(True,
+                                          MetadataBlockType.Streaminfo, 34)
+              + serialize_streaminfo(Streaminfo(n, n, 0, 0, 44100, 2, 16,
+                                                n * b, bytes(16)))
+              + b"".join(data[i, : lens[i]].tobytes() for i in range(b)))
+    _, got = dec.decode_array(stream, batch_frames=b)
+    np.testing.assert_array_equal(got, pcm)

@@ -263,3 +263,41 @@ def test_crc_fold_matches_host(rng):
     for i in range(b):
         assert got16[i] == crc16(bytes(data[i, : lengths[i]]))
         assert got8[i] == crc8(bytes(data[i, : lengths[i]]))
+
+
+def test_fixed_parallel_reconstruction_matches_scan(rng):
+    """reconstruct_fixed_parallel (masked-cumsum inverse differences) must
+    be bit-identical to the sequential scan for every fixed order mix, in
+    both dtypes — including values that wrap int32 (mod-2^32 adds)."""
+    from flacx.ops.reconstruct import (reconstruct_fixed_parallel,
+                                       reconstruct_predicted)
+
+    taps_rows = [list(r) for r in FIXED_PREDICTOR_COEFFICIENTS]
+    b, c, n = 12, 2, 531
+    order = rng.integers(0, 5, size=(b, c)).astype(np.int32)
+    taps = np.zeros((b, c, 4), np.int32)
+    for i in range(b):
+        for j in range(c):
+            row = taps_rows[int(order[i, j])]
+            taps[i, j, : len(row)] = row
+    res = rng.integers(-3000, 3000, size=(b, c, n)).astype(np.int32)
+    shift = np.zeros((b, c), np.int32)
+
+    for dt in (jnp.int32, jnp.int64):
+        want = np.asarray(reconstruct_predicted(
+            jnp.asarray(res), jnp.asarray(taps), jnp.asarray(shift),
+            jnp.asarray(order), dtype=dt))
+        got = np.asarray(reconstruct_fixed_parallel(
+            jnp.asarray(res), jnp.asarray(order), 4, dtype=dt))
+        np.testing.assert_array_equal(got, want)
+
+    # max_order below 4: lanes clipped to the static bound stay exact
+    o1 = np.minimum(order, 1).astype(np.int32)
+    got1 = np.asarray(reconstruct_fixed_parallel(
+        jnp.asarray(res), jnp.asarray(o1), 1, dtype=jnp.int32))
+    t1 = np.zeros_like(taps)
+    t1[..., 0] = np.where(o1 == 1, 1, 0)
+    want1 = np.asarray(reconstruct_predicted(
+        jnp.asarray(res), jnp.asarray(t1), jnp.asarray(shift),
+        jnp.asarray(o1), dtype=jnp.int32))
+    np.testing.assert_array_equal(got1, want1)
