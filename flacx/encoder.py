@@ -37,7 +37,7 @@ from flacx.format import (FIXED_PREDICTOR_TAPS, INDEPENDENT_CHANNELS,
 from flacx.ops import emit, rice
 from flacx.ops.bitpack import pack_symbols
 from flacx.ops.crcfold import crc16_over_rows
-from flacx.ops.fixedpred import shift_right_one
+from flacx.ops.fixedpred import fixed_order_zz_sums
 from flacx.ops.headers import frame_header_symbols
 from flacx.ops.lpc import (autocorrelate, levinson_all_orders,
                            lpc_residuals_all, predict_residual,
@@ -263,14 +263,8 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     # (incremental diff chain — never materializes the [B,V,5,N] stack),
     # LPC orders either exact sums (order_search="exact") or mapped from
     # the Levinson error power via E|r| ≈ sqrt(2/π)·σ ("estimate")
-    fsum_cols = []
-    cur = x_v.astype(wdt)
-    for o in range(5):
-        if o:
-            cur = cur - shift_right_one(cur)
-        fsum_cols.append(jnp.sum(rice.zigzag(cur) * (i_pos >= o), axis=-1,
-                                 dtype=jnp.int64))
-    fzz_sum = jnp.stack(fsum_cols, axis=-1)                      # [B,V,5]
+    fzz_sum = fixed_order_zz_sums(x_v.astype(wdt),
+                                  cfg.eff_bps)                   # [B,V,5]
     fcounts = (n - cand_orders[:5]).astype(jnp.int64)
     fest = (rice.estimate_bits(fzz_sum, fcounts, cfg.kmax)
             + 8 + over_warm[..., :5])

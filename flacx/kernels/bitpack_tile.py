@@ -30,25 +30,31 @@ TILE = 512          # symbols per tile (= output capacity in words)
 LANES = 128         # tiles processed per kernel instance
 
 
-def _tile_kernel(values_ref, lengths_ref, words_ref, bits_ref):
+def _tile_kernel(values_ref, lengths_ref, la_ref, words_ref):
     v = values_ref[0]                          # [TILE, LANES] u32
     l = lengths_ref[0]                         # [TILE, LANES] i32
 
     # level 0: MSB-align each symbol in its own row
     buf = jnp.where(l > 0, v << ((32 - l.astype(jnp.uint32)) & 31),
                     jnp.uint32(0))
-    bits = l
 
     row = jax.lax.broadcasted_iota(jnp.int32, (TILE, LANES), 0)
     levels = TILE.bit_length() - 1             # log2(TILE)
 
+    off = 0
     for k in range(levels):
         span = 1 << k
-        region = span << 1
+        pairs = TILE >> (k + 1)
         is_odd = ((row >> k) & 1) == 1
 
-        # the even (first) string's length, constant over the whole region
-        la = jnp.where(is_odd, pltpu.roll(bits, jnp.int32(span), axis=0), bits)
+        # the even (first) string's length, constant over the whole
+        # region — precomputed XLA-side (tiny cumsums) and replicated to
+        # region rows here, replacing the in-kernel ``bits`` tracking
+        # (three full-tile rolls per level)
+        la_p = la_ref[0, off: off + pairs, :]
+        la = jnp.broadcast_to(la_p[:, None, :], (pairs, 2 * span, LANES)
+                              ).reshape(TILE, LANES)
+        off += pairs
         delta = span * 32 - la                 # upward shift of the odd part
         w = delta >> 5
         r = (delta & 31).astype(jnp.uint32)
@@ -76,12 +82,7 @@ def _tile_kernel(values_ref, lengths_ref, words_ref, bits_ref):
         even = jnp.where(is_odd, jnp.uint32(0), buf)
         buf = even | odd
 
-        # every row of the merged string holds its total length
-        lb = jnp.where(is_odd, bits, pltpu.roll(bits, jnp.int32(TILE - span), axis=0))
-        bits = la + lb
-
     words_ref[0] = buf
-    bits_ref[0] = bits[:1, :]
 
 
 def _upper_kernel(n_strings: int, lanes: int, cap0: int, out_rows: int,
@@ -221,7 +222,21 @@ def merge_tiles(values: jnp.ndarray, lengths: jnp.ndarray,
     vt = values.reshape(grid, LANES, TILE).transpose(0, 2, 1)
     lt = lengths.reshape(grid, LANES, TILE).transpose(0, 2, 1)
 
-    words, bits = pl.pallas_call(
+    # per-level even-string lengths, all levels concatenated along rows
+    # (level k contributes TILE >> (k+1) rows): tiny XLA-side cumsums
+    # replace the kernel's per-row ``bits`` replication, and the final
+    # level's total falls out for free
+    las = []
+    cur = lengths
+    for _ in range(TILE.bit_length() - 1):
+        las.append(cur[:, 0::2])
+        cur = cur[:, 0::2] + cur[:, 1::2]
+    bits = cur[:, 0]                                # [n_tiles] total
+    la_all = jnp.concatenate(las, axis=1)           # [n_tiles, TILE-1]
+    la_all = jnp.pad(la_all, ((0, 0), (0, 1)))
+    la_t = la_all.reshape(grid, LANES, TILE).transpose(0, 2, 1)
+
+    words = pl.pallas_call(
         _tile_kernel,
         grid=(grid,),
         in_specs=[
@@ -229,19 +244,14 @@ def merge_tiles(values: jnp.ndarray, lengths: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE, LANES), lambda g: (g, g - g, g - g),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
             pl.BlockSpec((1, TILE, LANES), lambda g: (g, g - g, g - g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda g: (g, g - g, g - g),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((grid, TILE, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((grid, 1, LANES), jnp.int32),
-        ),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, LANES), lambda g: (g, g - g, g - g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, TILE, LANES), jnp.uint32),
         interpret=interpret,
-    )(vt, lt)
+    )(vt, lt, la_t)
 
     words = words.transpose(0, 2, 1).reshape(n_tiles, TILE)
-    return words, bits.reshape(n_tiles)
+    return words, bits

@@ -1,0 +1,110 @@
+"""Pallas kernel: all fixed-order zigzag magnitude sums in one pass.
+
+The encoder ranks the five fixed predictors by the exact zigzag
+magnitude sum of each order's residual (reference candidate ranking:
+flac/encoder.py:374-390).  The XLA diff-chain form issues one
+emulated-int64 reduce fusion per order, each re-streaming the whole
+``[B, V, N]`` working array from HBM — five-plus passes, ~1.3 ms of the
+10 ms encode batch.  Here each 512-sample tile is read ONCE (natural
+row-major blocks, transposed to the compute layout in VMEM, same trick
+as ``autocorr_tile``), every order's residual is formed in-register from
+binomial-weighted shifted views (``Δᵒx[i] = Σ_j (-1)^j C(o,j) x[i-j]``)
+with the previous tile's tail carried in a VMEM scratch (the TPU grid
+runs sequentially), and only tiny ``[tiles, orders, rows]`` int32
+partials leave the kernel for an exact int64 cross-tile combine in XLA.
+
+Exactness: within a tile every partial is a sum of ≤ 512 zigzag values,
+each ``≤ 2^(eff_bps + order)``; the int32 partial is exact whenever
+``eff_bps + 4 + 9 ≤ 30`` — callers gate on ``eff_bps <= 17`` (all
+16-bit content incl. stereo side channels) and fall back to the XLA
+chain otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 512          # samples per tile (compute sublane axis)
+LANES = 128         # rows (subframe candidates) per block
+LOOK = 8            # sublane-aligned lookbehind rows (needs 4)
+
+BINOM = ((1,), (1, -1), (1, -2, 1), (1, -3, 3, -1), (1, -4, 6, -4, 1))
+
+
+def _zzsum_kernel(n: int, n_orders: int, ord_sub: int,
+                  x_ref, out_ref, tail_ref):
+    j = pl.program_id(1)
+    cur = x_ref[...].T                          # [TILE, LANES] i32
+    # lookbehind: last LOOK samples of the previous tile, carried across
+    # the (sequentially executed) sample-tile grid axis in VMEM scratch
+    prev = tail_ref[...] * (j != 0)
+    ext = jnp.concatenate([prev, cur], axis=0)  # [LOOK+TILE, LANES]
+    tail_ref[...] = cur[TILE - LOOK:]
+
+    # global-position masks without i64 program-id arithmetic (Mosaic
+    # rejects 64-bit ops under x64): the warmup mask only bites in tile
+    # 0 and the padding mask only in the last tile, so combine a local
+    # iota with scalar tile-index predicates
+    local = jax.lax.broadcasted_iota(jnp.int32, (TILE, LANES), 0)
+    nt = -(-n // TILE)
+    tail_n = jnp.int32(n - (nt - 1) * TILE)
+    in_tail = (local < tail_n) | (j != nt - 1)
+    parts = []
+    for o in range(n_orders):
+        d = cur * BINOM[o][0]
+        for t in range(1, o + 1):
+            d = d + ext[LOOK - t: LOOK - t + TILE] * BINOM[o][t]
+        zz = (d << 1) ^ (d >> 31)               # zigzag, nonneg
+        zz = jnp.where(((local >= jnp.int32(o)) | (j != 0)) & in_tail,
+                       zz, jnp.int32(0))
+        # dtype pinned: under x64 jnp.sum would promote to (Mosaic-
+        # unsupported) int64; ≤512-term partials are exact in int32
+        parts.append(jnp.sum(zz, axis=0, dtype=jnp.int32))
+    acc = jnp.stack(parts, axis=0)              # [n_orders, LANES]
+    # explicit i32 zero rows: jnp.pad's weak-typed constant trips an
+    # x64 convert_element_type recursion inside Mosaic lowering
+    pad = jnp.zeros((ord_sub - n_orders, LANES), jnp.int32)
+    out_ref[0, :, :] = jnp.concatenate([acc, pad], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_orders", "interpret"))
+def fixed_order_sums(x: jnp.ndarray, n_orders: int = 5,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Masked zigzag sums of all fixed-order residuals, one HBM pass.
+
+    Args:
+      x: ``[R, N]`` int32 rows, ``R`` a multiple of 128, values with
+        ``eff_bps <= 17`` (caller-gated; int32 partials are exact).
+      n_orders: orders ``0..n_orders-1`` (≤ 5).
+    Returns:
+      ``[R, n_orders]`` int64 — bit-identical to the XLA diff chain
+      ``sum(zigzag(Δᵒx) * (i >= o))``.
+    """
+    r, n = x.shape
+    assert r % LANES == 0 and n_orders <= 5
+    nt = -(-n // TILE)
+    if nt * TILE != n:
+        x = jnp.pad(x, ((0, 0), (0, nt * TILE - n)))
+    ord_sub = 8
+
+    out = pl.pallas_call(
+        functools.partial(_zzsum_kernel, n, n_orders, ord_sub),
+        grid=(r // LANES, nt),
+        in_specs=[
+            pl.BlockSpec((LANES, TILE), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ord_sub, LANES),
+                               lambda i, j: (j, i - i, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt, ord_sub, r), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((LOOK, LANES), jnp.int32)],
+        interpret=interpret,
+    )(x)
+
+    return jnp.sum(out[:, :n_orders, :], axis=0, dtype=jnp.int64).T

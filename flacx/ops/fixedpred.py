@@ -40,3 +40,51 @@ def order_mask(n: int, orders: jnp.ndarray) -> jnp.ndarray:
     """Validity mask ``[..., n]``: position ``i`` active iff ``i >= order``."""
     i = jnp.arange(n, dtype=jnp.int32)
     return i >= orders[..., None]
+
+
+def fixed_order_zz_sums(x: jnp.ndarray, eff_bps: int,
+                        use_tile_kernel: bool | None = None) -> jnp.ndarray:
+    """Exact zigzag magnitude sums of all five fixed-order residuals.
+
+    ``out[..., o] = Σ_i zigzag(Δᵒx)[i] · (i >= o)`` — the candidate-size
+    statistic the encoder ranks fixed predictors by (reference ranking:
+    flac/encoder.py:374-390).
+
+    ``use_tile_kernel`` routes through the single-HBM-pass Pallas kernel
+    (``flacx.kernels.zzsum_tile``) instead of one emulated-int64 reduce
+    fusion per order; None = auto (TPU, int32 input, ``eff_bps <= 17``
+    for exact int32 tile partials, rows a multiple of 128).  Both paths
+    are bit-identical.
+
+    Args:
+      x: integer samples ``[..., n]``.
+      eff_bps: effective bits per sample incl. stereo-side widening.
+    Returns:
+      ``[..., 5]`` int64.
+    """
+    import jax
+
+    from flacx.ops.rice import zigzag
+
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    r = 1
+    for d in lead:
+        r *= d
+    if use_tile_kernel is None:
+        use_tile_kernel = (jax.default_backend() == "tpu"
+                           and x.dtype == jnp.int32 and eff_bps <= 17
+                           and r % 128 == 0 and n >= 5)
+    if use_tile_kernel:
+        from flacx.kernels.zzsum_tile import fixed_order_sums
+        return fixed_order_sums(x.reshape(r, n)).reshape(*lead, 5)
+
+    i_pos = jnp.arange(n, dtype=jnp.int32)
+    cols = []
+    cur = x
+    for o in range(5):
+        if o:
+            cur = cur - shift_right_one(cur)
+        cols.append(jnp.sum(zigzag(cur) * (i_pos >= o), axis=-1,
+                            dtype=jnp.int64))
+    return jnp.stack(cols, axis=-1)

@@ -121,3 +121,39 @@ def test_autocorrelate_kernel_gate(rng):
     assert plain.shape == (2, 4, 9) and plain.dtype == np.float64
     if via_kernel is not None:
         np.testing.assert_allclose(via_kernel, plain, rtol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Single-pass fixed-order zigzag-sum kernel vs the XLA diff chain
+
+
+@pytest.mark.parametrize("r, n", [
+    (128, 4608),         # flagship block, nine tiles
+    (128, 531),          # ragged tail tile + warmup/padding masks
+    (256, 512),          # exactly one tile
+    (128, 5),            # shorter than one tile, all-warmup orders
+])
+def test_fixed_order_sums_kernel_matches_chain(rng, r, n):
+    from flacx.kernels.zzsum_tile import fixed_order_sums
+    from flacx.ops.fixedpred import fixed_order_zz_sums
+
+    # eff_bps = 17 extremes: the int32 tile partials must stay exact at
+    # the gate boundary (zz(Δ⁴) ≤ 2^21, 512-term partial ≤ 2^30)
+    x = rng.integers(-(1 << 16), 1 << 16, size=(r, n)).astype(np.int32)
+    x[0, :] = (1 << 16) - 1
+    x[1, :: 2] = -(1 << 16)
+    want = np.asarray(fixed_order_zz_sums(jnp.asarray(x), 17,
+                                          use_tile_kernel=False))
+    got = np.asarray(fixed_order_sums(jnp.asarray(x),
+                                      interpret=_interpret()))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fixed_order_zz_sums_gate(rng):
+    """Auto gate: int64 input and non-128-multiple rows stay on the XLA
+    chain; shapes/dtypes are identical either way."""
+    from flacx.ops.fixedpred import fixed_order_zz_sums
+
+    x = rng.integers(-1000, 1000, size=(3, 2, 700)).astype(np.int64)
+    out = np.asarray(fixed_order_zz_sums(jnp.asarray(x), 25))
+    assert out.shape == (3, 2, 5) and out.dtype == np.int64
