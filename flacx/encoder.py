@@ -41,7 +41,8 @@ from flacx.ops.fixedpred import fixed_order_zz_sums
 from flacx.ops.headers import frame_header_symbols
 from flacx.ops.lpc import (autocorrelate, levinson_all_orders,
                            lpc_residuals_all, predict_residual,
-                           quantize_all_orders, tukey_window_np)
+                           predict_residual_fused, quantize_all_orders,
+                           tukey_window_np)
 
 _INF = jnp.int64(1) << 50
 
@@ -305,16 +306,21 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         shift_lpc_v = jnp.take_along_axis(
             qshifts, (lpc_order - 1).astype(jnp.int32)[..., None],
             axis=2)[..., 0]
-        if cfg.order_search == "exact":
-            lpc_res = jnp.take_along_axis(lres, lo_idx, axis=2)[:, :, 0]
-        else:
-            lpc_res = predict_residual(x_v, taps_lpc_v, shift_lpc_v,
-                                       cfg.lpc_acc_dtype)
         # cross-family comparison always on EXACT magnitude sums (the
         # Levinson error is optimistic about post-quantization residuals)
-        lmask_best = i_pos >= lpc_order[..., None]
-        lpc_res = lpc_res * lmask_best        # zero the warmup junk
-        lzz_exact = jnp.sum(rice.zigzag(lpc_res), axis=-1, dtype=jnp.int64)
+        if cfg.order_search == "exact":
+            lpc_res = jnp.take_along_axis(lres, lo_idx, axis=2)[:, :, 0]
+            lmask_best = i_pos >= lpc_order[..., None]
+            lpc_res = lpc_res * lmask_best    # zero the warmup junk
+            lzz_exact = jnp.sum(rice.zigzag(lpc_res), axis=-1,
+                                dtype=jnp.int64)
+            lpc_maxabs = jnp.minimum(jnp.max(jnp.abs(lpc_res), axis=-1),
+                                     (1 << 31) - 1).astype(jnp.int32)
+        else:
+            sum_taps_max = max(1, p << max(prec - 1, 0))
+            lpc_res, lzz_exact, lpc_maxabs = predict_residual_fused(
+                x_v, taps_lpc_v, shift_lpc_v, lpc_order,
+                cfg.eff_bps, sum_taps_max)
         lpc_bits = (rice.estimate_bits(
             lzz_exact, (n - lpc_order).astype(jnp.int64), cfg.kmax)
             + 8 + lpc_order.astype(jnp.int64) * bps_v64
@@ -325,8 +331,7 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         if wdt == jnp.int32:
             # residuals that cannot survive the int32 working dtype make
             # the LPC candidate ineligible (verbatim/fixed win instead)
-            lpc_ok = lpc_ok & (jnp.max(jnp.abs(lpc_res), axis=-1)
-                               < (1 << 30))
+            lpc_ok = lpc_ok & (lpc_maxabs < (1 << 30))
         lpc_bits = jnp.where(lpc_ok, lpc_bits, _INF)
         lpc_res = lpc_res.astype(wdt)
         pred_is_lpc = lpc_bits < fixed_bits

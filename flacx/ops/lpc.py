@@ -231,3 +231,63 @@ def lpc_residuals_all(x: jnp.ndarray, qcoefs: jnp.ndarray,
         pred = jnp.right_shift(acc, shifts[..., o - 1, None].astype(acc_dtype))
         rows.append(xa - pred)
     return jnp.stack(rows, axis=-2)
+
+
+def predict_residual_fused(x: jnp.ndarray, taps: jnp.ndarray,
+                           shift: jnp.ndarray, order: jnp.ndarray,
+                           eff_bps: int, sum_taps_max: int,
+                           use_tile_kernel: bool | None = None,
+                           ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Masked LPC residual + its two selection statistics, fused.
+
+    Returns ``(res, lzz, maxabs)`` where ``res`` is
+    :func:`predict_residual` with positions ``i < order`` zeroed,
+    ``lzz = Σ zigzag(res)`` (int64) and ``maxabs = max |res|`` (int32) —
+    the cross-family ranking sum and int32-eligibility statistic the
+    encoder derives from the residual (reference ranking basis:
+    flac/encoder.py:374-390).
+
+    ``use_tile_kernel`` routes through the single-HBM-pass Pallas kernel
+    (``flacx.kernels.lpcres_tile``); None = auto (TPU, rows a multiple
+    of 128, and the int32 MAC + int32 zigzag-partial exactness gates
+    derived from ``eff_bps`` and the static tap-magnitude bound
+    ``sum_taps_max = P · 2^(prec-1)``).  Both paths are bit-identical.
+    """
+    import jax
+
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    r = 1
+    for d in lead:
+        r *= d
+    t = taps.shape[-1]
+    if use_tile_kernel is None:
+        use_tile_kernel = (
+            jax.default_backend() == "tpu" and r % 128 == 0
+            and t <= 32 and n >= 1
+            and eff_bps + 1 + max(1, sum_taps_max).bit_length() <= 31
+            and (1 + sum_taps_max) < (1 << max(25 - eff_bps, 0)))
+    if use_tile_kernel:
+        from flacx.kernels.lpcres_tile import lpc_residual_tiles
+        res, lzz, maxabs = lpc_residual_tiles(
+            x.astype(jnp.int32).reshape(r, n),
+            taps.astype(jnp.int32).reshape(r, t),
+            shift.astype(jnp.int32).reshape(r),
+            order.astype(jnp.int32).reshape(r))
+        return (res.reshape(*lead, n), lzz.reshape(lead),
+                maxabs.reshape(lead))
+
+    from flacx.ops.rice import zigzag
+
+    acc_dtype = (jnp.int32
+                 if eff_bps + 1 + max(1, sum_taps_max).bit_length() <= 31
+                 else jnp.int64)
+    res = predict_residual(x, taps, shift, acc_dtype)
+    i_pos = jnp.arange(n, dtype=jnp.int32)
+    res = res * (i_pos >= order[..., None])
+    lzz = jnp.sum(zigzag(res), axis=-1, dtype=jnp.int64)
+    # clamp before narrowing: an int64 |res| ≥ 2^31 must stay ≥ 2^30
+    # after the cast so the caller's eligibility compare is preserved
+    maxabs = jnp.minimum(jnp.max(jnp.abs(res), axis=-1),
+                         (1 << 31) - 1).astype(jnp.int32)
+    return res, lzz, maxabs

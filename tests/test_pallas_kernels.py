@@ -157,3 +157,58 @@ def test_fixed_order_zz_sums_gate(rng):
     x = rng.integers(-1000, 1000, size=(3, 2, 700)).astype(np.int64)
     out = np.asarray(fixed_order_zz_sums(jnp.asarray(x), 25))
     assert out.shape == (3, 2, 5) and out.dtype == np.int64
+
+
+# ---------------------------------------------------------------------------
+# Fused LPC residual kernel vs predict_residual + mask + reduces
+
+
+@pytest.mark.parametrize("r, n, t", [
+    (128, 4608, 12),     # flagship config
+    (128, 531, 12),      # ragged tail tile
+    (128, 700, 32),      # max order: lookbehind spans tile boundary
+    (256, 512, 4),       # fixed-predictor tap count, one tile
+])
+def test_lpc_residual_tiles_matches_xla(rng, r, n, t):
+    from flacx.kernels.lpcres_tile import lpc_residual_tiles
+    from flacx.ops.lpc import predict_residual
+    from flacx.ops.rice import zigzag
+
+    x = jnp.asarray(rng.integers(-(1 << 16), 1 << 16,
+                                 size=(r, n)).astype(np.int32))
+    taps = rng.integers(-16, 16, size=(r, t)).astype(np.int32)
+    order = rng.integers(0, min(t, 32) + 1, size=(r,)).astype(np.int32)
+    for i in range(r):           # taps zero beyond each row's order
+        taps[i, order[i]:] = 0
+    shift = rng.integers(0, 15, size=(r,)).astype(np.int32)
+
+    want_res = predict_residual(x, jnp.asarray(taps), jnp.asarray(shift),
+                                jnp.int32)
+    want_res = np.asarray(want_res * (jnp.arange(n) >= order[:, None]))
+    want_lzz = np.asarray(zigzag(jnp.asarray(want_res))).sum(
+        axis=-1, dtype=np.int64)
+    want_mab = np.abs(want_res).max(axis=-1)
+
+    res, lzz, mab = lpc_residual_tiles(x, jnp.asarray(taps),
+                                       jnp.asarray(shift),
+                                       jnp.asarray(order),
+                                       interpret=_interpret())
+    np.testing.assert_array_equal(np.asarray(res), want_res)
+    np.testing.assert_array_equal(np.asarray(lzz), want_lzz)
+    np.testing.assert_array_equal(np.asarray(mab), want_mab)
+
+
+def test_predict_residual_fused_gate(rng):
+    """Auto gate falls back to the XLA path off-TPU / for wide rows and
+    returns the same statistics triple."""
+    from flacx.ops.lpc import predict_residual_fused
+
+    x = jnp.asarray(rng.integers(-(1 << 22), 1 << 22,
+                                 size=(3, 2, 300)).astype(np.int64))
+    taps = jnp.asarray(rng.integers(-16, 16, size=(3, 2, 8)).astype(np.int32))
+    shift = jnp.asarray(np.full((3, 2), 3, np.int32))
+    order = jnp.asarray(np.full((3, 2), 8, np.int32))
+    res, lzz, mab = predict_residual_fused(x, taps, shift, order,
+                                           eff_bps=23, sum_taps_max=128)
+    assert res.shape == (3, 2, 300) and lzz.dtype == np.int64
+    assert mab.dtype == np.int32
