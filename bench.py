@@ -133,10 +133,13 @@ def main() -> None:
 
             def body(i, acc):
                 z = jnp.where(acc == jnp.int64(-1), 1, 0).astype(wasted.dtype)
-                p, e, _ = dfn(rows, lens_, cc, kind, order, shift,
-                              wasted + z, po, width_, taps, warm, cval,
-                              cpos, cparam, cesc, cinesc)
-                return acc + jnp.sum(p, dtype=jnp.int64) + e.astype(jnp.int64)
+                p, e, ok = dfn(rows, lens_, cc, kind, order, shift,
+                               wasted + z, po, width_, taps, warm, cval,
+                               cpos, cparam, cesc, cinesc)
+                # consume the CRC verdict too — otherwise XLA dead-code-
+                # eliminates the device CRC-16 verification from the loop
+                return (acc + jnp.sum(p, dtype=jnp.int64)
+                        + e.astype(jnp.int64) + ok.astype(jnp.int64))
 
             return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
 
@@ -159,12 +162,19 @@ def main() -> None:
     # slope between two K values isolates per-batch device time — the
     # dev-tunnel host link (~10 ms/dispatch here, absent on production
     # hosts) is excluded per the methodology note above.
+    # The checksum MUST consume the byte array, not just the lengths:
+    # total_bits is derived from the symbol-length sums, so a
+    # lengths-only reduction would let XLA dead-code-eliminate the
+    # entire word merge + byte assembly + CRC-16 tail of the pipeline
+    # and overstate throughput.
     def many(iters):
         def fn(p, base):
             def body(i, acc):
                 out = enc._fn(p + (i % 3).astype(jnp.int32),
                               base + i.astype(jnp.int64))
-                return acc + jnp.sum(out["length"])
+                return (acc + jnp.sum(out["length"])
+                        + jnp.sum(out["bytes"].astype(jnp.uint32))
+                        .astype(jnp.int64))
             return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
         return jax.jit(fn)
 
