@@ -35,8 +35,8 @@ import jax.numpy as jnp
 from flacx.format import (FIXED_PREDICTOR_TAPS, INDEPENDENT_CHANNELS,
                           Channels)
 from flacx.ops import emit, rice
-from flacx.ops.bitpack import pack_symbols
-from flacx.ops.crcfold import crc16_over_rows
+from flacx.ops.bitpack import pack_symbols_words, words_to_bytes
+from flacx.ops.crcfold import crc16_over_word_rows
 from flacx.ops.fixedpred import fixed_order_zz_sums
 from flacx.ops.headers import frame_header_symbols
 from flacx.ops.lpc import (autocorrelate, levinson_all_orders,
@@ -476,12 +476,15 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
 
     if _stop_after == "emit":
         return {"sv": values, "sl": lengths}
-    frame_bytes, total_bits = pack_symbols(values, lengths,
-                                           cfg.max_frame_bytes)
+    frame_words, total_bits = pack_symbols_words(values, lengths,
+                                                 cfg.max_frame_bytes)
     if _stop_after == "pack":
-        return {"bytes": frame_bytes, "bits": total_bits}
+        return {"words": frame_words, "bits": total_bits}
     nbytes = total_bits // 8
-    crc = crc16_over_rows(frame_bytes, nbytes)
+    # CRC folds straight from the packed words (a quarter the stream of
+    # the byte expansion); the byte split is a byteswap+bitcast
+    crc = crc16_over_word_rows(frame_words, nbytes)
+    frame_bytes = words_to_bytes(frame_words)
     pos = jnp.arange(cfg.max_frame_bytes, dtype=jnp.int32)
     frame_bytes = jnp.where(pos == nbytes[:, None],
                             (crc[:, None] >> 8).astype(jnp.uint8),

@@ -41,8 +41,8 @@ SEG = 64            # zigzag partial segment length (int32-exact)
 PROWS = 16          # partial rows: 8 zigzag segments + 1 maxabs + pad
 
 
-def _lpcres_kernel(n: int, t: int, look: int, x_ref, taps_ref, meta_ref,
-                   res_ref, part_ref, tail_ref):
+def _lpcres_kernel(n: int, t: int, look: int, bv: int | None,
+                   x_ref, taps_ref, meta_ref, res_ref, part_ref, tail_ref):
     j = pl.program_id(1)
     cur = x_ref[...].T                          # [TILE, LANES] i32
     prev = tail_ref[...] * (j != 0)
@@ -63,7 +63,8 @@ def _lpcres_kernel(n: int, t: int, look: int, x_ref, taps_ref, meta_ref,
     in_tail = (local < jnp.int32(n - (nt - 1) * TILE)) | (j != nt - 1)
     valid = ((local >= meta_ref[0, 1:2, :]) | (j != 0)) & in_tail
     res = jnp.where(valid, cur - pred, jnp.int32(0))
-    res_ref[...] = res.T
+    rt = res.T
+    res_ref[...] = rt if bv is None else rt.reshape(LANES // bv, bv, TILE)
 
     zz = (res << 1) ^ (res >> 31)               # nonneg, masked zeros
     zzp = jnp.sum(zz.reshape(TILE // SEG, SEG, LANES), axis=1,
@@ -73,9 +74,10 @@ def _lpcres_kernel(n: int, t: int, look: int, x_ref, taps_ref, meta_ref,
     part_ref[0, :, :] = jnp.concatenate([zzp, mab, pad], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("out_lead", "interpret"))
 def lpc_residual_tiles(x: jnp.ndarray, taps: jnp.ndarray,
                        shift: jnp.ndarray, order: jnp.ndarray,
+                       out_lead: tuple[int, int] | None = None,
                        interpret: bool = False
                        ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Masked LPC residuals + zigzag sums + max-|res|, one HBM pass.
@@ -85,9 +87,12 @@ def lpc_residual_tiles(x: jnp.ndarray, taps: jnp.ndarray,
       taps: ``[R, T]`` int32 (``T ≤ 32``, zero beyond each row's order).
       shift: ``[R]`` int32 ≥ 0.
       order: ``[R]`` int32 (positions ``i < order`` zeroed in the output).
+      out_lead: optional ``(B, V)`` with ``B·V == R`` and ``V | 128`` —
+        the residual is then returned as ``[B, V, N]`` written directly
+        in that shape (see layout note below).
     Returns:
-      ``(res [R, N] int32, lzz [R] int64, maxabs [R] int32)`` —
-      bit-identical to ``predict_residual`` → mask → reduce.
+      ``(res [R, N] or [B, V, N] int32, lzz [R] int64, maxabs [R] int32)``
+      — bit-identical to ``predict_residual`` → mask → reduce.
     """
     r, n = x.shape
     t = taps.shape[-1]
@@ -106,8 +111,27 @@ def lpc_residual_tiles(x: jnp.ndarray, taps: jnp.ndarray,
     meta_t = jnp.pad(meta, ((0, 0), (0, 6))) \
         .reshape(grid_r, LANES, 8).transpose(0, 2, 1)
 
+    # The residual leaves in the caller's [B, V, N] shape when V divides
+    # LANES: the write is the same contiguous block, but declaring the
+    # 3D shape here lets XLA keep its preferred tiling for the gather /
+    # select consumers instead of inserting a whole-array retiling pass
+    # after a [R, N] → [B, V, N] reshape (~0.23 ms/batch profiled).
+    if (out_lead is not None and len(out_lead) == 2
+            and out_lead[0] * out_lead[1] == r
+            and LANES % out_lead[1] == 0):
+        bv = out_lead[1]
+        res_shape = (r // bv, bv, nt * TILE)
+        res_spec = pl.BlockSpec((LANES // bv, bv, TILE),
+                                lambda i, j: (i, j - j, j),
+                                memory_space=pltpu.VMEM)
+    else:
+        bv = None
+        res_shape = (r, nt * TILE)
+        res_spec = pl.BlockSpec((LANES, TILE), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+
     res, parts = pl.pallas_call(
-        functools.partial(_lpcres_kernel, n, t, look),
+        functools.partial(_lpcres_kernel, n, t, look, bv),
         grid=(grid_r, nt),
         in_specs=[
             pl.BlockSpec((LANES, TILE), lambda i, j: (i, j),
@@ -118,13 +142,12 @@ def lpc_residual_tiles(x: jnp.ndarray, taps: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((LANES, TILE), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
+            res_spec,
             pl.BlockSpec((1, PROWS, LANES), lambda i, j: (j, i - i, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((r, nt * TILE), jnp.int32),
+            jax.ShapeDtypeStruct(res_shape, jnp.int32),
             jax.ShapeDtypeStruct((nt, PROWS, r), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((look, LANES), jnp.int32)],
@@ -134,4 +157,4 @@ def lpc_residual_tiles(x: jnp.ndarray, taps: jnp.ndarray,
     lzz = jnp.sum(parts[:, : TILE // SEG, :].astype(jnp.int64),
                   axis=(0, 1))
     maxabs = jnp.max(parts[:, TILE // SEG, :], axis=0)
-    return res[:, :n], lzz, maxabs
+    return res[..., :n], lzz, maxabs

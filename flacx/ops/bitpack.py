@@ -65,11 +65,25 @@ def _merge_level(words: jnp.ndarray, bits: jnp.ndarray,
     return a | x, la + lb
 
 
-def pack_symbols(values: jnp.ndarray, lengths: jnp.ndarray,
-                 max_bytes: int,
-                 use_tile_kernel: bool | None = None,
-                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Pack per-row symbol streams into byte arrays (merge-tree algorithm).
+def words_to_bytes(data: jnp.ndarray) -> jnp.ndarray:
+    """``[..., W]`` u32 MSB-first words → ``[..., 4W]`` u8 big-endian bytes.
+
+    A byte-swap followed by a bitcast: the u8 view of the swapped u32
+    array IS its bytes (bitcast element ``i`` = bits ``[8i, 8i+8)``), so
+    XLA keeps the storage and skips the interleave-layout copy the
+    ``stack(>>24, >>16, ...)`` formulation required.
+    """
+    sw = ((data << 24) | ((data & jnp.uint32(0xFF00)) << 8)
+          | ((data >> 8) & jnp.uint32(0xFF00)) | (data >> 24))
+    by = jax.lax.bitcast_convert_type(sw, jnp.uint8)
+    return by.reshape(*data.shape[:-1], data.shape[-1] * 4)
+
+
+def pack_symbols_words(values: jnp.ndarray, lengths: jnp.ndarray,
+                       max_bytes: int,
+                       use_tile_kernel: bool | None = None,
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack per-row symbol streams into u32 words (merge-tree algorithm).
 
     Args:
       values: ``[B, S]`` uint32 symbol payloads (low bits, ``< 2**length``).
@@ -78,8 +92,11 @@ def pack_symbols(values: jnp.ndarray, lengths: jnp.ndarray,
       use_tile_kernel: run the lower tree levels in the Pallas VMEM kernel
         (``flacx.kernels.bitpack_tile``); None = auto (TPU backend only).
     Returns:
-      ``(bytes u8 [B, max_bytes], total_bits i32 [B])``; bytes beyond each
-      row's stream are zero.
+      ``(words u32 [B, max_bytes // 4] MSB-first, total_bits i32 [B])``;
+      words beyond each row's stream are zero.  The byte form is
+      ``words_to_bytes(words)``; callers that also need the frame CRC can
+      fold it from the words (``crcfold.crc16_over_word_rows``) without
+      re-reading the byte expansion.
     """
     b, s = values.shape
     cap_words = max_bytes // 4
@@ -126,11 +143,7 @@ def pack_symbols(values: jnp.ndarray, lengths: jnp.ndarray,
                                    tb.reshape(b, n_strings), lanes=lanes,
                                    out_rows=out_rows)
             total_bits = tb.reshape(b, n_strings).sum(-1)
-            data = packed[:, : max_bytes // 4]
-            by = jnp.stack([data >> 24, data >> 16, data >> 8, data],
-                           axis=-1)
-            return ((by & jnp.uint32(0xFF)).astype(jnp.uint8)
-                    .reshape(b, max_bytes), total_bits)
+            return packed[:, : max_bytes // 4], total_bits
         words = tw.reshape(b, n_strings, TILE)
         bits = tb.reshape(b, n_strings)
         cap = TILE
@@ -156,10 +169,18 @@ def pack_symbols(values: jnp.ndarray, lengths: jnp.ndarray,
         words, bits = _merge_level(words, bits, cap)
 
     total_bits = bits[:, 0]
-    data = words[:, 0, :max_bytes // 4]
-    by = jnp.stack([data >> 24, data >> 16, data >> 8, data], axis=-1)
-    return ((by & jnp.uint32(0xFF)).astype(jnp.uint8).reshape(b, max_bytes),
-            total_bits)
+    return words[:, 0, :max_bytes // 4], total_bits
+
+
+def pack_symbols(values: jnp.ndarray, lengths: jnp.ndarray,
+                 max_bytes: int,
+                 use_tile_kernel: bool | None = None,
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Byte-array form of :func:`pack_symbols_words` (same contract,
+    returning ``bytes u8 [B, max_bytes]``)."""
+    words, total_bits = pack_symbols_words(values, lengths, max_bytes,
+                                           use_tile_kernel)
+    return words_to_bytes(words), total_bits
 
 
 # ---------------------------------------------------------------------------

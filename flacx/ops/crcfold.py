@@ -166,3 +166,33 @@ def crc16_over_rows(data: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 def crc8_fold(byte_vals: jnp.ndarray, distances: jnp.ndarray,
               active: jnp.ndarray) -> jnp.ndarray:
     return crc_fold(byte_vals, distances, active, 8, CRC8_POLYNOMIAL)
+
+
+def crc16_over_word_rows(words: jnp.ndarray,
+                         lengths: jnp.ndarray) -> jnp.ndarray:
+    """CRC-16 of the big-endian byte stream of ``words[b, :]`` rows.
+
+    Identical to ``crc16_over_rows`` on the byte expansion of ``words``
+    (MSB-first u32, bytes past ``lengths[b]`` zero — the bit packer
+    guarantees this), but folds 4 byte positions per 32-bit element, so
+    the streamed array is a quarter the size.  Lets the encoder compute
+    the frame CRC straight from the packed words, before (and fused
+    with) the byte split.
+    """
+    w_count = words.shape[-1]
+    l = w_count * 4
+    tab = power_table(16, CRC16_POLYNOMIAL, l + 1)
+    k4 = jnp.asarray(tab[l - 1::-1].copy().reshape(w_count, 4))
+    d = words.astype(jnp.uint32)
+
+    prod = jnp.zeros_like(d)
+    for j in range(4):
+        kj = k4[:, j]
+        for t in range(8):
+            bit = (d >> (8 * (3 - j) + t)) & jnp.uint32(1)
+            prod = prod ^ ((kj << t) * bit)
+    folded = _barrett(_xor_reduce(prod), 16, CRC16_POLYNOMIAL, 23)
+
+    inv = jnp.asarray(inverse_power_table(16, CRC16_POLYNOMIAL, l + 1))
+    fix = inv[jnp.clip(l - lengths, 0, l)]
+    return _barrett(_clmul16(folded, fix), 16, CRC16_POLYNOMIAL, 31)

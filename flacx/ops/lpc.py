@@ -269,13 +269,16 @@ def predict_residual_fused(x: jnp.ndarray, taps: jnp.ndarray,
             and (1 + sum_taps_max) < (1 << max(25 - eff_bps, 0)))
     if use_tile_kernel:
         from flacx.kernels.lpcres_tile import lpc_residual_tiles
+        out_lead = (lead if len(lead) == 2 and 128 % lead[1] == 0
+                    else None)
         res, lzz, maxabs = lpc_residual_tiles(
             x.astype(jnp.int32).reshape(r, n),
             taps.astype(jnp.int32).reshape(r, t),
             shift.astype(jnp.int32).reshape(r),
-            order.astype(jnp.int32).reshape(r))
-        return (res.reshape(*lead, n), lzz.reshape(lead),
-                maxabs.reshape(lead))
+            order.astype(jnp.int32).reshape(r), out_lead=out_lead)
+        if out_lead is None:
+            res = res.reshape(*lead, n)
+        return res, lzz.reshape(lead), maxabs.reshape(lead)
 
     from flacx.ops.rice import zigzag
 

@@ -202,14 +202,18 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     # [p·psize, (p+1)·psize)), so per-sample expansion is a pure
     # broadcast-reshape — no gathers.
     i = jnp.arange(n, dtype=jnp.int32)
-    k_sample = jnp.zeros((*lead, n), jnp.int32)
+    # int8 per-sample parameter: k ≤ 30 and escape size E ≤ 31 both fit,
+    # and the [..., n] expansion chain is pure HBM traffic — a quarter
+    # of the int32 footprint (consumers promote on use)
+    k_sample = jnp.zeros((*lead, n), jnp.int8)
     param_start = jnp.zeros((*lead, n), bool)
     esc_sample = jnp.zeros((*lead, n), bool)
     for po in porders:
         nparts = 1 << po
         psize = n >> po
         w4 = (best_width == 4)[..., None]
-        args = jnp.where(w4, k4_levels[po], k5_levels[po])  # [..., nparts]
+        args = jnp.where(w4, k4_levels[po],
+                         k5_levels[po]).astype(jnp.int8)  # [..., nparts]
         escs = jnp.where(w4, e4_levels[po], e5_levels[po])
 
         def expand(a):

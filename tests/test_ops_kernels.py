@@ -301,3 +301,26 @@ def test_fixed_parallel_reconstruction_matches_scan(rng):
         jnp.asarray(res), jnp.asarray(t1), jnp.asarray(shift),
         jnp.asarray(o1), dtype=jnp.int32))
     np.testing.assert_array_equal(got1, want1)
+
+
+def test_crc16_over_word_rows_matches_byte_fold(rng):
+    from flacx.crc import crc16
+    from flacx.ops.bitpack import words_to_bytes
+    from flacx.ops.crcfold import crc16_over_word_rows
+
+    b, w = 5, 96
+    data = rng.integers(0, 256, size=(b, w * 4)).astype(np.uint8)
+    lengths = np.array([0, 1, 37, 383, 384], np.int64)
+    for i in range(b):
+        data[i, lengths[i]:] = 0        # contract: zero past the length
+    words = ((data[:, 0::4].astype(np.uint32) << 24)
+             | (data[:, 1::4].astype(np.uint32) << 16)
+             | (data[:, 2::4].astype(np.uint32) << 8)
+             | data[:, 3::4])
+    got = np.asarray(crc16_over_word_rows(jnp.asarray(words),
+                                          jnp.asarray(lengths)))
+    for i in range(b):
+        assert got[i] == crc16(bytes(data[i, : lengths[i]]))
+    # byte split round-trips the words exactly
+    by = np.asarray(words_to_bytes(jnp.asarray(words)))
+    np.testing.assert_array_equal(by, data)

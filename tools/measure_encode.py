@@ -1,22 +1,24 @@
-"""Capture and summarize a device trace of the encode pipeline.
+"""Stable encode-pipeline cost: device-busy ms per batch from a trace.
 
-Usage:  python tools/profile_encoder.py [batch_frames]
+Usage: python tools/measure_encode.py [batch_frames] [iters]
 
-Writes the trace under /tmp/flacx_trace and prints the top device ops by
-time.  Works over the axon tunnel (device timeline only; host gaps are
-dispatch overhead, ~28 ms each in this environment — see
-.claude/skills/verify/SKILL.md).
+The fori-loop slope method (bench.py) rides the dev tunnel and varies
+±0.5 ms run to run; the device timeline's busy time for K traced
+iterations is repeatable to ~1%.  Prints one number: XLA-module busy
+ms / iteration (full pipeline, byte+CRC outputs forced).
 """
 
 import glob
 import os
+import shutil
 import sys
-from collections import defaultdict
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/flacx_jax_cache_tpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+TRACE = "/tmp/flacx_measure_trace"
 
 
 def main() -> None:
@@ -26,8 +28,8 @@ def main() -> None:
     from flacx.encoder import BatchEncoder, EncoderConfig
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     n = 4608
-    iters = 4
     cfg = EncoderConfig(block_size=n, max_lpc_order=12)
     enc = BatchEncoder(cfg, batch_frames=b)
 
@@ -37,9 +39,8 @@ def main() -> None:
     planar = jnp.asarray(np.stack([sig, np.roll(sig, 3)], 0)
                          .astype(np.int32).reshape(2, b, n)
                          .transpose(1, 0, 2))
+
     def _force(p, i):
-        # consume bytes + CRC too: a lengths-only sum lets XLA dead-code-
-        # eliminate the word merge / byte assembly / CRC tail (see bench.py)
         out = enc._fn(p, i)
         return (jnp.sum(out["length"])
                 + jnp.sum(out["bytes"].astype(jnp.uint32)).astype(jnp.int64))
@@ -47,14 +48,14 @@ def main() -> None:
     f = jax.jit(_force)
     int(f(planar, jnp.int64(0)))
 
-    with jax.profiler.trace("/tmp/flacx_trace"):
+    shutil.rmtree(TRACE, ignore_errors=True)
+    with jax.profiler.trace(TRACE):
         for i in range(iters):
             r = f(planar + i, jnp.int64(i))
         int(r)
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
-    path = sorted(glob.glob(
-        "/tmp/flacx_trace/plugins/profile/*/*.xplane.pb"))[-1]
+    path = sorted(glob.glob(f"{TRACE}/plugins/profile/*/*.xplane.pb"))[-1]
     xs = xplane_pb2.XSpace()
     with open(path, "rb") as fh:
         xs.ParseFromString(fh.read())
@@ -62,15 +63,17 @@ def main() -> None:
         if "TPU" not in plane.name:
             continue
         meta = {k: v.name for k, v in plane.event_metadata.items()}
-        totals = defaultdict(float)
+        best = 0.0
         for line in plane.lines:
+            if line.name != "XLA Modules":
+                continue
             for ev in line.events:
-                name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                totals[name] += ev.duration_ps / 1e9
-        print(f"== {plane.name} — top ops, ms per iteration ==")
-        for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:25]:
-            print(f"  {ms / iters:9.3f}  {name[:100]}")
-        break
+                name = meta.get(ev.metadata_id, "")
+                if "_force" in name or "jit__lambda" in name \
+                        or "unknown" in name:
+                    best += ev.duration_ps / 1e9
+        print(f"{best / iters:.3f}")
+        return
 
 
 if __name__ == "__main__":
