@@ -460,27 +460,45 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     indices = (frame_index + jnp.arange(b, dtype=jnp.int64)
                if frame_index.ndim == 0 else frame_index.astype(jnp.int64))
     hdr = frame_header_symbols(indices, ch_code, n)
-    sv, sl = emit.subframe_symbols(kind, order, bps_c, x_sel, taps, shift,
-                                   prec, zz, plan,
-                                   psize_min=n >> max(cfg.porders),
-                                   wasted=wasted)
-    sv = sv.reshape(b, -1)
-    sl = sl.reshape(b, -1)
+    psize_min = n >> max(cfg.porders)
 
-    body_bits = (jnp.sum(hdr.lengths, axis=-1)
-                 + jnp.sum(sl, axis=-1, dtype=jnp.int64)).astype(jnp.int32)
-    pad = (-body_bits) % 8
-    values = jnp.concatenate(
-        [hdr.values, sv, jnp.zeros((b, 1), jnp.uint32)], axis=-1)
-    lengths = jnp.concatenate([hdr.lengths, sl, pad[:, None]], axis=-1)
+    use_tile_emit = (jax.default_backend() == "tpu" and wdt == jnp.int32
+                     and emit.blocked_layout_ok(n, psize_min)
+                     and b % 128 == 0 and c <= 2 and cfg.eff_bps <= 31
+                     and _stop_after is None)
+    if use_tile_emit:
+        # kernel-resident emit→pack (flacx.ops.tilepack): per-sample
+        # symbols never materialize in HBM, no transposes around the
+        # merges; nbytes rounds up — strings are zero-filled, so the
+        # final partial byte equals the classic path's pad symbol
+        from flacx.ops.tilepack import pack_frames_tiled
+        frame_words, total_bits = pack_frames_tiled(
+            hdr.values, hdr.lengths, kind, order, bps_c, x_sel, taps,
+            shift, prec, zz, plan, wasted, psize_min,
+            cfg.max_frame_bytes)
+        nbytes = (total_bits + 7) // 8
+    else:
+        sv, sl = emit.subframe_symbols(kind, order, bps_c, x_sel, taps,
+                                       shift, prec, zz, plan,
+                                       psize_min=psize_min, wasted=wasted)
+        sv = sv.reshape(b, -1)
+        sl = sl.reshape(b, -1)
 
-    if _stop_after == "emit":
-        return {"sv": values, "sl": lengths}
-    frame_words, total_bits = pack_symbols_words(values, lengths,
-                                                 cfg.max_frame_bytes)
-    if _stop_after == "pack":
-        return {"words": frame_words, "bits": total_bits}
-    nbytes = total_bits // 8
+        body_bits = (jnp.sum(hdr.lengths, axis=-1)
+                     + jnp.sum(sl, axis=-1, dtype=jnp.int64)
+                     ).astype(jnp.int32)
+        pad = (-body_bits) % 8
+        values = jnp.concatenate(
+            [hdr.values, sv, jnp.zeros((b, 1), jnp.uint32)], axis=-1)
+        lengths = jnp.concatenate([hdr.lengths, sl, pad[:, None]], axis=-1)
+
+        if _stop_after == "emit":
+            return {"sv": values, "sl": lengths}
+        frame_words, total_bits = pack_symbols_words(values, lengths,
+                                                     cfg.max_frame_bytes)
+        if _stop_after == "pack":
+            return {"words": frame_words, "bits": total_bits}
+        nbytes = total_bits // 8
     # CRC folds straight from the packed words (a quarter the stream of
     # the byte expansion); the byte split is a byteswap+bitcast
     crc = crc16_over_word_rows(frame_words, nbytes)

@@ -30,15 +30,15 @@ TILE = 512          # symbols per tile (= output capacity in words)
 LANES = 128         # tiles processed per kernel instance
 
 
-def _tile_kernel(values_ref, lengths_ref, la_ref, words_ref):
-    v = values_ref[0]                          # [TILE, LANES] u32
-    l = lengths_ref[0]                         # [TILE, LANES] i32
+def _tile_kernel(lanes, values_ref, lengths_ref, la_ref, words_ref):
+    v = values_ref[0]                          # [TILE, lanes] u32
+    l = lengths_ref[0]                         # [TILE, lanes] i32
 
     # level 0: MSB-align each symbol in its own row
     buf = jnp.where(l > 0, v << ((32 - l.astype(jnp.uint32)) & 31),
                     jnp.uint32(0))
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (TILE, LANES), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (TILE, lanes), 0)
     levels = TILE.bit_length() - 1             # log2(TILE)
 
     off = 0
@@ -52,8 +52,8 @@ def _tile_kernel(values_ref, lengths_ref, la_ref, words_ref):
         # region rows here, replacing the in-kernel ``bits`` tracking
         # (three full-tile rolls per level)
         la_p = la_ref[0, off: off + pairs, :]
-        la = jnp.broadcast_to(la_p[:, None, :], (pairs, 2 * span, LANES)
-                              ).reshape(TILE, LANES)
+        la = jnp.broadcast_to(la_p[:, None, :], (pairs, 2 * span, lanes)
+                              ).reshape(TILE, lanes)
         off += pairs
         delta = span * 32 - la                 # upward shift of the odd part
         w = delta >> 5
@@ -237,7 +237,7 @@ def merge_tiles(values: jnp.ndarray, lengths: jnp.ndarray,
     la_t = la_all.reshape(grid, LANES, TILE).transpose(0, 2, 1)
 
     words = pl.pallas_call(
-        _tile_kernel,
+        functools.partial(_tile_kernel, LANES),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, TILE, LANES), lambda g: (g, g - g, g - g),
@@ -255,3 +255,103 @@ def merge_tiles(values: jnp.ndarray, lengths: jnp.ndarray,
 
     words = words.transpose(0, 2, 1).reshape(n_tiles, TILE)
     return words, bits
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def merge_tiles_t(vt: jnp.ndarray, lt: jnp.ndarray,
+                  interpret: bool = False
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`merge_tiles` on PRE-TRANSPOSED tile blocks.
+
+    Args:
+      vt: ``[G, TILE, LANES]`` u32 symbol values (tile content on
+        sublanes, tiles on lanes — e.g. straight out of
+        ``flacx.kernels.emit_tile``).
+      lt: ``[G, TILE, LANES]`` i32 symbol lengths.
+    Returns:
+      ``(words [G, TILE, LANES] u32 MSB-first — still transposed,
+      bits [G, LANES] i32)`` — no HBM transpose on either side.
+    """
+    grid = vt.shape[0]
+    las = []
+    cur = lt
+    for _ in range(TILE.bit_length() - 1):
+        las.append(cur[:, 0::2, :])
+        cur = cur[:, 0::2, :] + cur[:, 1::2, :]
+    bits = cur[:, 0, :]
+    la_t = jnp.concatenate(las, axis=1)             # [G, TILE-1, LANES]
+    la_t = jnp.pad(la_t, ((0, 0), (0, 1), (0, 0)))
+
+    l = vt.shape[-1]
+    words = pl.pallas_call(
+        functools.partial(_tile_kernel, l),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, TILE, l), lambda g: (g, g - g, g - g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, l), lambda g: (g, g - g, g - g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, l), lambda g: (g, g - g, g - g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, l), lambda g: (g, g - g, g - g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, TILE, l), jnp.uint32),
+        interpret=interpret,
+    )(vt, lt, la_t)
+    return words, bits
+
+
+@functools.partial(jax.jit, static_argnames=("lanes", "out_rows",
+                                             "interpret"))
+def merge_strings_t(wt: jnp.ndarray, bits: jnp.ndarray,
+                    lanes: int = 64, out_rows: int | None = None,
+                    interpret: bool = False) -> jnp.ndarray:
+    """:func:`merge_strings` on PRE-TRANSPOSED string stacks.
+
+    Args:
+      wt: ``[G, S·cap, L]`` u32 — each lane's ``S`` strings of ``cap``
+        words stacked on sublanes (``S`` a power of two); ``L`` a
+        multiple of ``lanes`` (blocks of ``lanes`` lanes are processed
+        per kernel instance via lane-block indexing — no data movement).
+      bits: ``[G, S, L]`` i32 string bit lengths.
+      out_rows: word capacity of the result (see :func:`merge_strings`).
+    Returns:
+      ``[G, out_rows, L]`` u32 packed words — still transposed.
+    """
+    g, rows, l = wt.shape
+    s = bits.shape[1]
+    cap = rows // s
+    assert s & (s - 1) == 0 and l % lanes == 0 and cap * s == rows
+    if out_rows is None or out_rows > rows:
+        out_rows = rows
+    levels = s.bit_length() - 1
+    lsplit = l // lanes
+
+    las = []
+    cur = bits
+    for _ in range(levels):
+        las.append(cur[:, 0::2, :])
+        cur = cur[:, 0::2, :] + cur[:, 1::2, :]
+
+    if lsplit == 1:
+        # avoid //-and-% index arithmetic (i64 div trips Mosaic
+        # legalization under x64) when there is no lane split
+        block = lambda r: pl.BlockSpec(
+            (1, r, lanes), lambda i: (i, i - i, i - i),
+            memory_space=pltpu.VMEM)
+    else:
+        block = lambda r: pl.BlockSpec(
+            (1, r, lanes), lambda i: (i // lsplit, i - i, i % lsplit),
+            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_upper_kernel, s, lanes, cap, out_rows),
+        grid=(g * lsplit,),
+        in_specs=[block(rows)] + [block(a.shape[1]) for a in las],
+        out_specs=block(out_rows),
+        out_shape=jax.ShapeDtypeStruct((g, out_rows, l), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wt, *las)
+    return out

@@ -5,7 +5,7 @@ slots carry zero length and vanish in the bit packer.  This keeps shapes
 static under jit while encoding the fully dynamic FLAC grammar:
 
   [header(1) | warmup(T) | lpc-meta(1) | coefs(T) | res-meta(1) |
-   sparse param slots interleaved with N sample slots]
+   param/sample slots (blocked, see ``subframe_symbols``)]
 
 A Rice-coded residual sample is ONE symbol: value ``(1 << k) | remainder``
 emitted with length ``q + 1 + k`` — its leading zeros ARE the unary
@@ -18,6 +18,13 @@ Partition parameter slots live at STATIC stream positions: a partition can
 only start at sample ``order`` (≤ 32) or at a multiple of the finest legal
 partition size, so a param slot precedes samples 0..32 and every multiple
 of ``psize_min`` — everything else is grammar-free.
+
+The stage is split into composable pieces so the Pallas emit kernel
+(``flacx.kernels.emit_tile``) and the XLA fallback share one source of
+truth: :func:`subframe_header_symbols` (header region),
+:func:`partition_param_symbols` (sparse parameter slots),
+:func:`sample_symbols` (per-sample codes), with
+:func:`subframe_symbols` composing all three.
 """
 
 from __future__ import annotations
@@ -36,27 +43,16 @@ def param_slot_positions(n: int, psize_min: int) -> list[int]:
     return sorted(pos)
 
 
-def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
-                     x: jnp.ndarray, taps: jnp.ndarray, shift: jnp.ndarray,
-                     precision: int, zz: jnp.ndarray, plan: RicePlan,
-                     psize_min: int,
-                     wasted: jnp.ndarray | None = None,
-                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Emit symbols for a batch of subframes.
-
-    Args:
-      kind: ``[B, C]`` in {constant, verbatim, fixed, lpc}.
-      order: ``[B, C]`` predictor order (0 for constant/verbatim).
-      bps: ``[B, C]`` effective sample size (incl. the side-channel bit).
-      x: ``[B, C, N]`` integer samples of the emitted (virtual) channel.
-      taps: ``[B, C, T]`` chosen integer predictor taps.
-      shift: ``[B, C]`` LPC shift.
-      zz: ``[B, C, N]`` zigzag residual magnitudes (0 at ``i < order``).
-      plan: exact Rice plan for these residuals.
-      psize_min: finest legal partition size (static).
-    Returns:
-      ``(values u32, lengths i32)`` of shape ``[B, C, slots]``.
-    """
+def subframe_header_symbols(kind: jnp.ndarray, order: jnp.ndarray,
+                            bps: jnp.ndarray, x: jnp.ndarray,
+                            taps: jnp.ndarray, shift: jnp.ndarray,
+                            precision: int, plan: RicePlan,
+                            wasted: jnp.ndarray | None = None,
+                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Header-region symbols: subframe header, wasted-bits unary, warmup
+    (constant value rides in warmup slot 0), LPC meta + coefficients,
+    residual meta.  Returns ``(values u32, lengths i32)`` of shape
+    ``[B, C, 4 + 2T]``."""
     b, c, n = x.shape
     t = taps.shape[-1]
     # warmup slots are tiny — keep them in exact i64
@@ -102,11 +98,54 @@ def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
     rmeta_v = ((method << 4) | plan.porder.astype(jnp.uint32))[..., None]
     rmeta_l = jnp.where(is_pred, 6, 0)[..., None].astype(jnp.int32)
 
-    # --- per-sample symbols (one per sample) -------------------------------
+    values = jnp.concatenate([hdr_v, wst_v, warm_v, meta_v, coef_v,
+                              rmeta_v], axis=-1)
+    lengths = jnp.concatenate([hdr_l, wst_l, warm_l, meta_l, coef_l,
+                               rmeta_l], axis=-1)
+    return values, lengths
+
+
+def partition_param_symbols(kind: jnp.ndarray, plan: RicePlan, n: int,
+                            psize_min: int,
+                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sparse partition-parameter symbols at the static slot positions.
+
+    Rice partition: width-bit parameter k.  Escaped partition: width-bit
+    all-ones marker followed by the 5-bit raw size E (one fused symbol).
+    Returns ``(values u32, lengths i32)`` of shape ``[B, C, P]`` with
+    ``P = len(param_slot_positions(n, psize_min))``.
+    """
+    is_pred = kind >= KIND_FIXED
+    # the plan carries param-slot subsampled copies picked from its small
+    # per-partition arrays — gathering [..., ppos] from the per-sample
+    # expansions instead would force them to materialize in gather
+    # layout (~0.8 ms/batch at 1024×2×4608)
+    esc_p = plan.esc_param
+    kp = plan.k_param.astype(jnp.uint32)
+    ones_marker = ((jnp.uint32(1) << plan.width.astype(jnp.uint32)) - 1
+                   )[..., None]
+    param_v = jnp.where(esc_p, (ones_marker << 5) | kp, kp)
+    param_l = jnp.where(is_pred[..., None] & plan.start_param,
+                        plan.width[..., None] + jnp.where(esc_p, 5, 0),
+                        0).astype(jnp.int32)
+    return param_v, param_l
+
+
+def sample_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
+                   x: jnp.ndarray, zz: jnp.ndarray, plan: RicePlan,
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample symbols (one per sample): Rice code, escaped raw
+    residual, or verbatim sample.  Returns ``(values u32, lengths i32)``
+    of shape ``[B, C, N]``.  (The Pallas kernel
+    ``flacx.kernels.emit_tile`` reimplements exactly this + the blocked
+    slot assembly in VMEM.)"""
+    b, c, n = x.shape
+    is_pred = kind >= KIND_FIXED
     i = jnp.arange(n, dtype=jnp.int32)
     in_resid = is_pred[..., None] & (i >= order[..., None])
     k = plan.k_sample.astype(zz.dtype)
     one = jnp.ones((), zz.dtype)
+    bps_mask = ((jnp.int64(1) << bps.astype(jnp.int64)) - 1)[..., None]
 
     samp_rice_v = ((one << k) | (zz & ((one << k) - 1))).astype(jnp.uint32)
     samp_rice_l = (zz >> k).astype(jnp.int32) + 1 + plan.k_sample
@@ -125,35 +164,69 @@ def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
     samp_v = jnp.where(is_verb, samp_verb_v, samp_pred_v)
     samp_l = jnp.where(is_verb, bps[..., None],
                        jnp.where(in_resid, samp_pred_l, 0)).astype(jnp.int32)
+    return samp_v, samp_l
 
-    # --- sparse partition-parameter slots at static positions --------------
-    # Rice partition: width-bit parameter k.  Escaped partition: width-bit
-    # all-ones marker followed by the 5-bit raw size E (one fused symbol).
+
+def blocked_layout_ok(n: int, psize_min: int) -> bool:
+    """Whether the blocked (8-aligned, params-before-samples) fast slot
+    layout applies — the same condition for the XLA fast path and the
+    Pallas emit kernel."""
+    return (psize_min >= 40 and psize_min % 8 == 0
+            and n % psize_min == 0 and n > psize_min)
+
+
+def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
+                     x: jnp.ndarray, taps: jnp.ndarray, shift: jnp.ndarray,
+                     precision: int, zz: jnp.ndarray, plan: RicePlan,
+                     psize_min: int,
+                     wasted: jnp.ndarray | None = None,
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Emit symbols for a batch of subframes.
+
+    Args:
+      kind: ``[B, C]`` in {constant, verbatim, fixed, lpc}.
+      order: ``[B, C]`` predictor order (0 for constant/verbatim).
+      bps: ``[B, C]`` effective sample size (incl. the side-channel bit).
+      x: ``[B, C, N]`` integer samples of the emitted (virtual) channel.
+      taps: ``[B, C, T]`` chosen integer predictor taps.
+      shift: ``[B, C]`` LPC shift.
+      zz: ``[B, C, N]`` zigzag residual magnitudes (0 at ``i < order``).
+      plan: exact Rice plan for these residuals.
+      psize_min: finest legal partition size (static).
+    Returns:
+      ``(values u32, lengths i32)`` of shape ``[B, C, slots]``.
+    """
+    b, c, n = x.shape
+    hdr_v, hdr_l = subframe_header_symbols(kind, order, bps, x, taps,
+                                           shift, precision, plan, wasted)
+    param_v, param_l = partition_param_symbols(kind, plan, n, psize_min)
+    samp_v, samp_l = sample_symbols(kind, order, bps, x, zz, plan)
     ppos = param_slot_positions(n, psize_min)
-    pidx = jnp.asarray(ppos, jnp.int32)
-    esc_p = plan.esc_sample[..., pidx]
-    kp = plan.k_sample[..., pidx].astype(jnp.uint32)
-    ones_marker = ((jnp.uint32(1) << plan.width.astype(jnp.uint32)) - 1
-                   )[..., None]
-    param_v = jnp.where(esc_p, (ones_marker << 5) | kp, kp)
-    param_l = jnp.where(is_pred[..., None] & plan.param_start[..., pidx],
-                        plan.width[..., None] + jnp.where(esc_p, 5, 0),
-                        0).astype(jnp.int32)
 
     def interleave(pv, sv):
-        """Place param slot j immediately before sample ppos[j]."""
-        if psize_min >= 33 and n % psize_min == 0 and n > psize_min:
-            # fast path: positions are exactly {0..32} ∪ {multiples of
-            # psize_min}; three vectorized regions instead of ~100 slices
-            head = jnp.stack([pv[..., :33], sv[..., :33]],
-                             axis=-1).reshape(b, c, 66)
-            mid = sv[..., 33:psize_min]
+        """Emit param slots so each precedes its partition's samples.
+
+        Fast path — BLOCKED layout: the 33 head param slots (at most one
+        carries a symbol: partition 0's parameter, preceding sample
+        ``order``) are emitted as one block before the first sample
+        segment, and every later segment leads with its single param
+        slot padded to 8.  Legal because samples ``0..order-1`` are
+        zero-length in the sample slots (warmup lives in the header
+        region), so the only nonzero head param still precedes the
+        first nonzero sample; zero-length slots are position-free.
+        8-aligned block boundaries keep every region a cheap aligned
+        slice (and make the layout Pallas-tileable).
+        """
+        if blocked_layout_ok(n, psize_min):
             nseg = n // psize_min
-            rest_s = sv[..., psize_min:].reshape(b, c, nseg - 1, psize_min)
+            z7 = jnp.zeros((b, c, 7), pv.dtype)
             rest_p = pv[..., 33:, None]
-            rest = jnp.concatenate([rest_p, rest_s], axis=-1
-                                   ).reshape(b, c, (nseg - 1) * (psize_min + 1))
-            return [head, mid, rest]
+            rest_z = jnp.zeros((b, c, nseg - 1, 7), pv.dtype)
+            rest_s = sv[..., psize_min:].reshape(b, c, nseg - 1, psize_min)
+            rest = jnp.concatenate([rest_p, rest_z, rest_s], axis=-1
+                                   ).reshape(b, c,
+                                             (nseg - 1) * (psize_min + 8))
+            return [pv[..., :33], z7, sv[..., :psize_min], rest]
         out = []
         cursor = 0
         for j, pos in enumerate(ppos):
@@ -165,14 +238,15 @@ def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
             out.append(sv[..., cursor:])
         return out
 
-    values = jnp.concatenate(
-        [hdr_v, wst_v, warm_v, meta_v, coef_v, rmeta_v,
-         *interleave(param_v, samp_v)], axis=-1)
-    lengths = jnp.concatenate(
-        [hdr_l, wst_l, warm_l, meta_l, coef_l, rmeta_l,
-         *interleave(param_l, samp_l)], axis=-1)
+    values = jnp.concatenate([hdr_v, *interleave(param_v, samp_v)], axis=-1)
+    lengths = jnp.concatenate([hdr_l, *interleave(param_l, samp_l)], axis=-1)
     return values, lengths
 
 
 def subframe_slot_count(max_taps: int, n: int, psize_min: int) -> int:
-    return 3 + 2 * max_taps + n + len(param_slot_positions(n, psize_min))
+    if blocked_layout_ok(n, psize_min):
+        nseg = n // psize_min
+        samp = 40 + psize_min + (nseg - 1) * (psize_min + 8)
+    else:
+        samp = n + len(param_slot_positions(n, psize_min))
+    return 4 + 2 * max_taps + samp

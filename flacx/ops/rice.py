@@ -19,6 +19,7 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 #: Bias added to fallback partition orders outside the user's requested
 #: range so they are only selected when every requested order is invalid
@@ -48,6 +49,13 @@ class RicePlan(NamedTuple):
     param_start: jnp.ndarray  # [..., n] bool: param symbol precedes sample i
     esc_sample: jnp.ndarray  # [..., n] bool: sample i is in an ESCAPED
     #                          partition (raw k_sample-bit two's complement)
+    # The same three quantities restricted to the P static param-slot
+    # positions ({0..32} ∪ multiples of the finest partition size) —
+    # subsampled from the small per-partition arrays, so the emitter's
+    # parameter symbols never gather from the [..., n] expansions:
+    k_param: jnp.ndarray     # [..., P]
+    start_param: jnp.ndarray  # [..., P] bool
+    esc_param: jnp.ndarray   # [..., P] bool
 
 
 def zigzag(r: jnp.ndarray) -> jnp.ndarray:
@@ -208,6 +216,18 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     k_sample = jnp.zeros((*lead, n), jnp.int8)
     param_start = jnp.zeros((*lead, n), bool)
     esc_sample = jnp.zeros((*lead, n), bool)
+    # param-slot subsampled copies (static positions {0..32} ∪ multiples
+    # of psize_min): picked from the SMALL per-partition arrays with
+    # static indices — emitters must never gather these from the
+    # [..., n] expansions (a 64-column gather forces the whole expansion
+    # to materialize in gather layout, ~0.8 ms/batch profiled)
+    psize_min = n >> max_po
+    ppos = sorted(set(range(min(33, n))) | set(range(0, n, psize_min)))
+    np_ppos = np.asarray(ppos, np.int32)
+    p_cnt = len(ppos)
+    k_param = jnp.zeros((*lead, p_cnt), jnp.int8)
+    start_param = jnp.zeros((*lead, p_cnt), bool)
+    esc_param = jnp.zeros((*lead, p_cnt), bool)
     for po in porders:
         nparts = 1 << po
         psize = n >> po
@@ -226,6 +246,15 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
         esc_sample = jnp.where(here, expand(escs), esc_sample)
         param_start = jnp.where(here, starts, param_start)
 
+        part_of = jnp.asarray(np_ppos // psize, jnp.int32)   # static
+        k_param = jnp.where(here, args[..., part_of], k_param)
+        esc_param = jnp.where(here, escs[..., part_of], esc_param)
+        sp = ((jnp.asarray(np_ppos % psize == 0)
+               & jnp.asarray(np_ppos > 0))
+              | (jnp.asarray(np_ppos) == order[..., None]))
+        start_param = jnp.where(here, sp, start_param)
+
     return RicePlan(bits=best_bits, porder=best_po, width=best_width,
                     k_sample=k_sample, param_start=param_start,
-                    esc_sample=esc_sample)
+                    esc_sample=esc_sample, k_param=k_param,
+                    start_param=start_param, esc_param=esc_param)

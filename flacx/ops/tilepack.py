@@ -1,0 +1,130 @@
+"""Kernel-resident emit→pack path: symbols to packed frame words with no
+HBM-side transposes.
+
+The classic path (``emit.subframe_symbols`` → ``bitpack.pack_symbols``)
+materializes the per-sample symbol arrays in the packer's frame-minor
+transposed layout (strided XLA fusions) and pays two whole-array
+transposes around the merge kernels.  Here the per-sample symbols are
+emitted by ``flacx.kernels.emit_tile`` directly in tile-transposed
+``[slot, lane]`` blocks with lanes = frames, the header region rides in
+one small tile-string per channel, and both merge stages run on the
+transposed layout (``merge_tiles_t`` / ``merge_strings_t``).  The one
+remaining transpose is the final ``[G, words, lanes] → [B, words]`` of
+the packed output.
+
+Stream string order per frame (zero-padded strings are free):
+
+  [frame header + ch0 subframe header] [ch0 sample tiles ×K]
+  [ch1 subframe header] [ch1 sample tiles ×K] ... [pad to 2^m]
+
+No explicit byte-alignment pad symbol is needed: strings are zero-filled
+past their length, so the final partial byte is already zero-padded and
+``nbytes = ceil(total_bits / 8)`` yields bytes identical to the classic
+path's pad-symbol form.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from flacx.ops import emit
+from flacx.ops.rice import RicePlan
+
+
+def pack_frames_tiled(hdr_values: jnp.ndarray, hdr_lengths: jnp.ndarray,
+                      kind: jnp.ndarray, order: jnp.ndarray,
+                      bps: jnp.ndarray, x: jnp.ndarray, taps: jnp.ndarray,
+                      shift: jnp.ndarray, precision: int, zz: jnp.ndarray,
+                      plan: RicePlan, wasted: jnp.ndarray | None,
+                      psize_min: int, max_frame_bytes: int,
+                      interpret: bool = False,
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Emit + pack a batch of frames through the tile-kernel path.
+
+    Args/semantics match ``emit.subframe_symbols`` +
+    ``bitpack.pack_symbols_words`` with ``hdr_*`` the frame-header
+    symbols; returns ``(frame_words u32 [B, max_frame_bytes // 4],
+    total_bits i32 [B])`` — byte-identical to the classic path.
+
+    Caller-enforced gates: TPU backend, ``zz.dtype == int32``,
+    ``emit.blocked_layout_ok(n, psize_min)``, ``B % 128 == 0``,
+    ``C <= 2``, ``eff_bps <= 31``.
+    """
+    from flacx.kernels.bitpack_tile import (TILE, merge_strings_t,
+                                            merge_tiles_t)
+    from flacx.kernels.emit_tile import LANES, emit_sample_tiles
+
+    b, c, n = x.shape
+    grid_b = b // LANES
+    nseg = n // psize_min
+    used = 40 + psize_min + (nseg - 1) * (psize_min + 8)
+    k_tiles = -(-used // TILE)
+
+    shv, shl = emit.subframe_header_symbols(kind, order, bps, x, taps,
+                                            shift, precision, plan, wasted)
+    pv, plv = emit.partition_param_symbols(kind, plan, n, psize_min)
+    kesc = (plan.k_sample.astype(jnp.uint8)
+            | (plan.esc_sample.astype(jnp.uint8) << 7))
+
+    def hdr_tile(v, le):
+        """[B, S<=TILE] symbol row → transposed tile [grid_b, TILE, LANES]."""
+        vt = jnp.pad(v.astype(jnp.uint32),
+                     ((0, 0), (0, TILE - v.shape[-1])))
+        lt = jnp.pad(le.astype(jnp.int32),
+                     ((0, 0), (0, TILE - le.shape[-1])))
+        return (vt.reshape(grid_b, LANES, TILE).transpose(0, 2, 1),
+                lt.reshape(grid_b, LANES, TILE).transpose(0, 2, 1))
+
+    groups_v, groups_l = [], []
+    for ch in range(c):
+        if ch == 0:
+            hv = jnp.concatenate([hdr_values, shv[:, 0]], axis=-1)
+            hl = jnp.concatenate([hdr_lengths, shl[:, 0]], axis=-1)
+        else:
+            hv, hl = shv[:, ch], shl[:, ch]
+        ht_v, ht_l = hdr_tile(hv, hl)
+        ev, el = emit_sample_tiles(zz, x, kesc, pv, plv, kind, order,
+                                   bps, ch, psize_min,
+                                   interpret=interpret)
+        groups_v += [ht_v, ev.reshape(grid_b * k_tiles, TILE, LANES)]
+        groups_l += [ht_l, el.reshape(grid_b * k_tiles, TILE, LANES)]
+
+    vt_all = jnp.concatenate(groups_v, axis=0)
+    lt_all = jnp.concatenate(groups_l, axis=0)
+    tw, tb = merge_tiles_t(vt_all, lt_all, interpret=interpret)
+
+    # regroup grid cells into per-frame string stacks, stream order
+    n_str = c * (1 + k_tiles)
+    s2 = 1
+    while s2 < n_str:
+        s2 <<= 1
+    wt_parts, tb_parts = [], []
+    off = 0
+    for ch in range(c):
+        wt_parts.append(tw[off: off + grid_b][:, None])
+        tb_parts.append(tb[off: off + grid_b][:, None])
+        off += grid_b
+        wt_parts.append(tw[off: off + grid_b * k_tiles]
+                        .reshape(grid_b, k_tiles, TILE, LANES))
+        tb_parts.append(tb[off: off + grid_b * k_tiles]
+                        .reshape(grid_b, k_tiles, LANES))
+        off += grid_b * k_tiles
+    if s2 > n_str:
+        wt_parts.append(jnp.zeros((grid_b, s2 - n_str, TILE, LANES),
+                                  jnp.uint32))
+        tb_parts.append(jnp.zeros((grid_b, s2 - n_str, LANES), jnp.int32))
+    wt = jnp.concatenate(wt_parts, axis=1).reshape(grid_b, s2 * TILE, LANES)
+    tbs = jnp.concatenate(tb_parts, axis=1)          # [grid_b, s2, LANES]
+
+    cap_words = max_frame_bytes // 4
+    out_rows = min(s2 * TILE, (cap_words + 2 + 511) // 512 * 512)
+    # lane blocks must be 128-wide (or the whole lane dim): the working
+    # set at 128 lanes (~25 MB for 32×512-word strings) sits well under
+    # the raised VMEM budget
+    packed = merge_strings_t(wt, tbs, lanes=min(LANES, wt.shape[-1]),
+                             out_rows=out_rows, interpret=interpret)
+
+    frame_words = packed.transpose(0, 2, 1).reshape(b, out_rows)
+    frame_words = frame_words[:, :cap_words]
+    total_bits = jnp.sum(tbs, axis=1).reshape(grid_b * LANES)
+    return frame_words, total_bits

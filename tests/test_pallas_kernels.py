@@ -212,3 +212,188 @@ def test_predict_residual_fused_gate(rng):
                                            eff_bps=23, sum_taps_max=128)
     assert res.shape == (3, 2, 300) and lzz.dtype == np.int64
     assert mab.dtype == np.int32
+
+
+# ---------------------------------------------------------------------------
+# Emit kernel vs the XLA blocked emit path
+
+
+def test_emit_sample_tiles_matches_xla(rng):
+    from flacx.kernels.emit_tile import emit_sample_tiles
+    from flacx.ops import rice
+    from flacx.ops.emit import (KIND_CONSTANT, KIND_FIXED, KIND_LPC,
+                                KIND_VERBATIM, partition_param_symbols,
+                                sample_symbols)
+
+    b, c, n, psize_min = 128, 2, 4608, 144
+    nseg = n // psize_min
+    kind = rng.integers(0, 4, size=(b, c)).astype(np.int32)
+    kind[0] = [KIND_CONSTANT, KIND_VERBATIM]
+    kind[1] = [KIND_FIXED, KIND_LPC]
+    order = np.where(kind >= KIND_FIXED,
+                     rng.integers(0, 33, size=(b, c)), 0).astype(np.int32)
+    order = np.where(kind == KIND_LPC, np.maximum(order, 1), order)
+    bps = rng.integers(8, 18, size=(b, c)).astype(np.int32)
+    x = rng.integers(-(1 << 15), 1 << 15, size=(b, c, n)).astype(np.int32)
+    res = rng.integers(-2000, 2000, size=(b, c, n)).astype(np.int32)
+    zz = np.asarray(rice.zigzag(jnp.asarray(res)))
+    zz = zz * (np.arange(n) >= order[..., None])
+    plan = rice.exact_plan(jnp.asarray(zz).astype(jnp.int64),
+                           jnp.asarray(order), (0, 1, 2, 3, 4, 5),
+                           (0, 1, 2, 3, 4, 5), 30)
+
+    param_v, param_l = partition_param_symbols(jnp.asarray(kind), plan,
+                                               n, psize_min)
+    want_sv, want_sl = sample_symbols(jnp.asarray(kind), jnp.asarray(order),
+                                      jnp.asarray(bps), jnp.asarray(x),
+                                      jnp.asarray(zz), plan)
+    kesc = (np.asarray(plan.k_sample).astype(np.uint8)
+            | (np.asarray(plan.esc_sample).astype(np.uint8) << 7))
+
+    for ch in range(c):
+        got_v, got_l = emit_sample_tiles(
+            jnp.asarray(zz.astype(np.int32)), jnp.asarray(x),
+            jnp.asarray(kesc), param_v, param_l, jnp.asarray(kind),
+            jnp.asarray(order), jnp.asarray(bps), ch, psize_min,
+            interpret=_interpret())
+        got_v = np.asarray(got_v)    # [1, S_pad, 128]
+        got_l = np.asarray(got_l)
+
+        # reference assembly of the blocked layout for this channel
+        pv = np.asarray(param_v)[:, ch]
+        plc = np.asarray(param_l)[:, ch]
+        sv = np.asarray(want_sv)[:, ch]
+        sl = np.asarray(want_sl)[:, ch]
+        z7v = np.zeros((b, 7), np.uint32)
+        z7l = np.zeros((b, 7), np.int32)
+        vparts = [pv[:, :33], z7v, sv[:, :psize_min]]
+        lparts = [plc[:, :33], z7l, sl[:, :psize_min]]
+        for g in range(1, nseg):
+            vparts += [pv[:, 32 + g: 33 + g], z7v,
+                       sv[:, g * psize_min: (g + 1) * psize_min]]
+            lparts += [plc[:, 32 + g: 33 + g], z7l,
+                       sl[:, g * psize_min: (g + 1) * psize_min]]
+        want_vc = np.concatenate(vparts, axis=-1)
+        want_lc = np.concatenate(lparts, axis=-1)
+        used = want_vc.shape[-1]
+        np.testing.assert_array_equal(
+            got_v[0, :used, :].T, want_vc, err_msg=f"values ch{ch}")
+        np.testing.assert_array_equal(
+            got_l[0, :used, :].T, want_lc, err_msg=f"lengths ch{ch}")
+        assert not got_l[0, used:, :].any()
+
+
+def test_transposed_merge_variants_match_classic(rng):
+    """merge_tiles_t / merge_strings_t (pre-transposed, no HBM transposes)
+    must reproduce the classic API bit-for-bit."""
+    from flacx.kernels.bitpack_tile import (merge_strings, merge_strings_t,
+                                            merge_tiles, merge_tiles_t)
+
+    f, s = 8, 16                              # 16 strings per frame
+    slots = s * TILE
+    lengths = rng.integers(0, 33, size=(f, slots)).astype(np.int32)
+    lengths[:, ::7] = 0
+    values = (rng.integers(0, 1 << 31, size=(f, slots)).astype(np.uint32)
+              & ((np.uint32(1) << np.minimum(lengths, 31)) - 1)
+              .astype(np.uint32))
+    values = np.where(lengths == 32,
+                      values | np.uint32(1 << 31), values).astype(np.uint32)
+
+    tw, tb = merge_tiles(jnp.asarray(values.reshape(-1, TILE)),
+                         jnp.asarray(lengths.reshape(-1, TILE)),
+                         interpret=_interpret())
+
+    # transposed path: tiles on lanes (one grid cell per tile-slot)
+    vt = jnp.asarray(values.reshape(f, s, TILE).transpose(1, 2, 0))
+    lt = jnp.asarray(lengths.reshape(f, s, TILE).transpose(1, 2, 0))
+    twt, tbt = merge_tiles_t(vt, lt, interpret=_interpret())
+    # twt [s, TILE, f] -> compare against classic [f*s, TILE]
+    np.testing.assert_array_equal(
+        np.asarray(twt).transpose(2, 0, 1).reshape(-1, TILE),
+        np.asarray(tw))
+    np.testing.assert_array_equal(
+        np.asarray(tbt).T.reshape(-1), np.asarray(tb))
+
+    packed = merge_strings(jnp.asarray(tw).reshape(f, s, TILE),
+                           jnp.asarray(tb).reshape(f, s),
+                           interpret=_interpret(), lanes=f,
+                           out_rows=3 * TILE)
+    # strings stacked on sublanes, frames on lanes: [1, s*TILE, f]
+    wt_t = jnp.asarray(np.asarray(twt).transpose(0, 1, 2)
+                       .reshape(s * TILE, f)[None])
+    bits_t = jnp.asarray(np.asarray(tbt)[None])   # [1, s, f]
+    packed_t = merge_strings_t(wt_t, bits_t, lanes=f,
+                               out_rows=3 * TILE,
+                               interpret=_interpret())
+    np.testing.assert_array_equal(
+        np.asarray(packed_t)[0].T, np.asarray(packed))
+
+
+def test_pack_frames_tiled_matches_classic(rng):
+    """The kernel-resident emit→pack path must produce byte-identical
+    frames to emit.subframe_symbols + pack_symbols_words."""
+    from flacx.ops import rice
+    from flacx.ops.bitpack import pack_symbols_words, words_to_bytes
+    from flacx.ops.emit import (KIND_CONSTANT, KIND_FIXED, KIND_LPC,
+                                KIND_VERBATIM, subframe_symbols)
+    from flacx.ops.headers import frame_header_symbols
+    from flacx.ops.tilepack import pack_frames_tiled
+
+    b, c, n, psize_min, t, prec = 128, 2, 4608, 144, 12, 5
+    kind = rng.integers(0, 4, size=(b, c)).astype(np.int32)
+    kind[0] = [KIND_CONSTANT, KIND_VERBATIM]
+    kind[1] = [KIND_FIXED, KIND_LPC]
+    order = np.where(kind == KIND_FIXED, rng.integers(0, 5, size=(b, c)),
+                     0).astype(np.int32)
+    order = np.where(kind == KIND_LPC,
+                     rng.integers(1, t + 1, size=(b, c)), order)
+    bps = rng.integers(8, 18, size=(b, c)).astype(np.int32)
+    x = rng.integers(-(1 << 15), 1 << 15, size=(b, c, n)).astype(np.int32)
+    x[0, 0] = 77                   # constant subframe: constant values
+    taps = rng.integers(-16, 16, size=(b, c, t)).astype(np.int32)
+    taps = taps * (np.arange(t) < order[..., None])
+    shift = np.where(kind == KIND_LPC,
+                     rng.integers(0, 15, size=(b, c)), 0).astype(np.int32)
+    wasted = np.zeros((b, c), np.int32)
+    res = rng.integers(-2000, 2000, size=(b, c, n)).astype(np.int32)
+    zz = np.asarray(rice.zigzag(jnp.asarray(res)))
+    zz = (zz * (np.arange(n) >= order[..., None])).astype(np.int32)
+    plan = rice.exact_plan(jnp.asarray(zz).astype(jnp.int64),
+                           jnp.asarray(order), (0, 1, 2, 3, 4, 5),
+                           (0, 1, 2, 3, 4, 5), 30)
+
+    indices = jnp.arange(b, dtype=jnp.int64) + 7
+    ch_code = jnp.full((b,), 2, jnp.int32)
+    hdr = frame_header_symbols(indices, ch_code, n)
+    max_bytes = (((16 * 8 + c * (8 + n * 18) + 64) // 8 + 2) + 127) \
+        // 128 * 128
+
+    ja = jnp.asarray
+    sv, sl = subframe_symbols(ja(kind), ja(order), ja(bps), ja(x), ja(taps),
+                              ja(shift), prec, ja(zz), plan, psize_min,
+                              wasted=ja(wasted))
+    sv, sl = sv.reshape(b, -1), sl.reshape(b, -1)
+    body = (jnp.sum(hdr.lengths, -1)
+            + jnp.sum(sl, -1, dtype=jnp.int64)).astype(jnp.int32)
+    pad = (-body) % 8
+    values = jnp.concatenate([hdr.values, sv,
+                              jnp.zeros((b, 1), jnp.uint32)], -1)
+    lengths = jnp.concatenate([hdr.lengths, sl, pad[:, None]], -1)
+    want_words, want_bits = pack_symbols_words(values, lengths, max_bytes,
+                                               use_tile_kernel=False)
+    want_nbytes = np.asarray(want_bits) // 8
+    want_bytes = np.asarray(words_to_bytes(want_words))
+
+    got_words, got_bits = pack_frames_tiled(
+        hdr.values, hdr.lengths, ja(kind), ja(order), ja(bps), ja(x),
+        ja(taps), ja(shift), prec, ja(zz), plan, ja(wasted), psize_min,
+        max_bytes, interpret=_interpret())
+    got_nbytes = (np.asarray(got_bits) + 7) // 8
+    got_bytes = np.asarray(words_to_bytes(got_words))
+
+    np.testing.assert_array_equal(got_nbytes, want_nbytes)
+    for i in range(b):
+        np.testing.assert_array_equal(
+            got_bytes[i, : got_nbytes[i]], want_bytes[i, : want_nbytes[i]],
+            err_msg=f"frame {i}")
+        assert not got_bytes[i, got_nbytes[i]:].any()
