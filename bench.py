@@ -23,7 +23,8 @@ import os
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/flacx_jax_cache_tpu")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+from flacx.utils import enable_compile_cache  # noqa: E402
+enable_compile_cache()  # env route is dead when jax is preloaded
 
 import numpy as np  # noqa: E402
 

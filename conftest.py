@@ -28,3 +28,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The env vars above are a no-op when jax was already imported at
+# interpreter startup (sitecustomize preloads it in this environment and
+# the config defaults are captured at import time) — set the persistent
+# compile cache through the config API, which works as long as no
+# computation has run yet.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

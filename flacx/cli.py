@@ -285,6 +285,11 @@ def main(argv: list[str] | None = None) -> None:
     parser = make_argument_parser()
     args = parser.parse_args(argv)
 
+    # the env vars above are ignored when jax is preloaded at interpreter
+    # startup (sitecustomize) — the config API route always works
+    from flacx.utils import enable_compile_cache
+    enable_compile_cache()
+
     if args.action == ACTION_DECODE:
         cmd_decode(args.infile, args.outfile, not args.no_device,
                    args.batch_frames, args.stream)

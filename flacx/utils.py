@@ -96,3 +96,28 @@ def zigzag_decode(x: int) -> int:
     [0, -1, 1, -2, 2]
     """
     return (x >> 1) ^ -(x & 1)
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache, reliably.
+
+    ``JAX_COMPILATION_CACHE_DIR`` only works when set before ``import
+    jax`` — but some environments preload jax at interpreter startup
+    (sitecustomize), silently disabling the env-var route.  The config
+    API works any time before the first compilation, so every flacx
+    entry point (CLI, bench, tools) funnels through here.
+
+    Args:
+      path: cache directory; defaults to ``$JAX_COMPILATION_CACHE_DIR``
+        or ``~/.cache/flacx/xla``.
+    """
+    import os
+
+    import jax
+
+    path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.path.join(os.path.expanduser("~"), ".cache", "flacx",
+                            "xla"))
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -21,9 +21,10 @@ import os
 import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/flacx_jax_cache_tpu")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+from flacx.utils import enable_compile_cache  # noqa: E402
+enable_compile_cache()  # env route is dead when jax is preloaded
 
 import numpy as np
 

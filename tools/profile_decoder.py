@@ -14,6 +14,8 @@ from collections import defaultdict
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/flacx_jax_cache_tpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from flacx.utils import enable_compile_cache  # noqa: E402
+enable_compile_cache()  # env route is dead when jax is preloaded
 
 import numpy as np
 
