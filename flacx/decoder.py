@@ -24,7 +24,7 @@ import io
 import numpy as np
 
 from flacx.bitio import BitReader
-from flacx.crc import crc8
+from flacx.crc import crc8, crc16
 from flacx.format import MAGIC, MetadataBlockType, Streaminfo
 from flacx.oracle.decoder import (FlacFormatError, read_frame,
                                   read_metadata_header, read_streaminfo)
@@ -57,10 +57,10 @@ def scan_frame_offsets(data: bytes, first: int,
     A candidate survives only if its header parses and its CRC-8 matches
     (a ~2^-30 false-positive filter); survivors are chained by their coded
     frame/sample numbers.  The first frame may carry any starting number
-    (a stream cut mid-file still batch-decodes).  Any duplicated coded
-    number among candidates means a CRC-8-passing false sync exists and
-    the chain cannot be trusted — that raises, and the caller falls back
-    to the strict sequential decoder.
+    (a stream cut mid-file still batch-decodes).  A duplicated coded
+    number among candidates (a CRC-8-passing false sync colliding with a
+    real frame number) is resolved by checking which candidate closes the
+    previous frame with a valid CRC-16.
     """
     import flacx.coded_number as cn
 
@@ -105,29 +105,52 @@ def scan_frame_offsets(data: bytes, first: int,
 
     if not offsets:
         return np.asarray([], np.int64)
-    if len(set(numbers)) != len(numbers):
-        raise FlacFormatError(
-            "duplicate coded frame numbers among sync candidates "
-            "(CRC-8-passing false sync) — batch offset scan is ambiguous")
-    if len(set(strategies)) != 1:
-        raise FlacFormatError("mixed blocking strategies among candidates")
 
     # chain by coded number: fixed blocking counts frames (+1), variable
     # blocking counts samples (+block_size); start from the first
-    # candidate's own number
+    # candidate's own number.  RFC 9639 requires one blocking strategy
+    # per stream, so the first (genuine) frame's bit is authoritative and
+    # candidates carrying the other bit are false syncs — dropped, not a
+    # reason to abandon the scan.
+    strategy = strategies[0]
     stride = 1
-    if strategies[0] == 1:
+    if strategy == 1:
         if block_size is None:
             raise FlacFormatError("variable blocking needs block_size")
         stride = block_size
+
+    by_num: dict[int, list[int]] = {}
+    for off, num, strat in zip(offsets, numbers, strategies):
+        if strat == strategy:
+            by_num.setdefault(num, []).append(off)
+
+    # A CRC-8-passing false sync whose junk coded number collides with a
+    # real frame number becomes MORE likely with file size (~2^-30 per
+    # payload byte·frame), so ambiguity must be resolved locally, not by
+    # abandoning the batch path: the true boundary is the candidate that
+    # closes the PREVIOUS frame with a valid CRC-16 (first frame: the
+    # stream's first payload byte).  A surviving wrong pick is still
+    # caught by the batch CRC-16 check, which falls back to the
+    # sequential decoder — exactness never depends on this scan.
     chain: list[int] = []
     expected = numbers[0]
     last_off = first - 1
-    for off, num in zip(offsets, numbers):
-        if num == expected and off > last_off:
-            chain.append(off)
-            last_off = off
-            expected += stride
+    while True:
+        alts = [o for o in by_num.get(expected, []) if o > last_off]
+        if not alts:
+            break
+        if len(alts) > 1:
+            if chain:
+                prev = chain[-1]
+                good = [o for o in alts
+                        if crc16(data[prev:o - 2])
+                        == int.from_bytes(data[o - 2:o], "big")]
+            else:
+                good = [o for o in alts if o == first]
+            alts = good or alts
+        chain.append(alts[0])
+        last_off = alts[0]
+        expected += stride
     return np.asarray(chain, np.int64)
 
 

@@ -124,12 +124,12 @@ def test_native_parser_matches_numpy(rng):
 # Adversarial / robustness (VERDICT round-1 item 3)
 
 
-def test_adversarial_fake_sync_falls_back_bit_exact(rng):
+def test_adversarial_fake_sync_resolved_bit_exact(rng):
     """A CRC-8-valid fake frame header embedded in a verbatim payload must
-    not displace real frame boundaries: the scan detects the duplicate
-    coded number, raises, and decode falls back to sequential — bit-exact.
+    not displace real frame boundaries: the scan resolves the duplicate
+    coded number by CRC-16 of the previous frame span and the batch path
+    decodes bit-exactly without any sequential fallback.
     """
-    from flacx.decoder import FlacFormatError
     from flacx.encoder import BatchEncoder, EncoderConfig
     from flacx.format import MAGIC, MetadataBlockType, Streaminfo
     from flacx.oracle.encoder import (serialize_metadata_header,
@@ -167,10 +167,27 @@ def test_adversarial_fake_sync_falls_back_bit_exact(rng):
     assert data2.count(hdr1) >= 2, "fake sync was not embedded verbatim"
 
     si2, first2 = parse_stream_header(data2)
-    with pytest.raises(FlacFormatError):
-        scan_frame_offsets(data2, first2)
-    _, got = decode_array(data2)
+    offsets2 = scan_frame_offsets(data2, first2)
+    np.testing.assert_array_equal(offsets2, scan_frame_offsets(data2, first2))
+    assert len(offsets2) == 3
+    assert offsets2[0] == first2
+
+    import flacx.decoder as dec
+
+    real_seq = dec._decode_sequential
+    calls = []
+
+    def counting_seq(*a, **k):
+        calls.append(1)
+        return real_seq(*a, **k)
+
+    try:
+        dec._decode_sequential = counting_seq
+        _, got = decode_array(data2)
+    finally:
+        dec._decode_sequential = real_seq
     np.testing.assert_array_equal(got, pcm2)
+    assert not calls, "fake sync should be resolved on the batch path"
 
 
 def test_nonzero_first_frame_number(rng, monkeypatch):
