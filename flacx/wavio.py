@@ -72,20 +72,26 @@ def read_wav_chunks(path: Path | str, chunk_frames: int):
 
 
 def pcm_to_le_bytes(pcm: np.ndarray, bps: int) -> bytes:
-    """Interleaved little-endian sample bytes (the MD5/WAV payload form)."""
+    """Interleaved little-endian sample bytes (the MD5/WAV payload form).
+
+    Streaminfo MD5 covers each sample as ceil(bps/8) little-endian
+    two's-complement bytes (RFC 9639 §8.2), so non-byte-aligned sizes
+    (12, 20) pack like their 16/24-bit containers.
+    """
     flat = pcm.reshape(-1)
-    if bps == 8:
+    nbytes = (bps + 7) // 8
+    if nbytes == 1:
         return flat.astype(np.int8).tobytes()
-    if bps == 16:
+    if nbytes == 2:
         return flat.astype("<i2").tobytes()
-    if bps == 24:
+    if nbytes == 3:
         u = flat.astype(np.int32).view(np.uint32) & 0xFFFFFF
         out = np.empty((flat.size, 3), np.uint8)
         out[:, 0] = u & 0xFF
         out[:, 1] = (u >> 8) & 0xFF
         out[:, 2] = (u >> 16) & 0xFF
         return out.tobytes()
-    if bps == 32:
+    if nbytes == 4:
         return flat.astype("<i4").tobytes()
     raise ValueError(f"unsupported bits per sample {bps}")
 

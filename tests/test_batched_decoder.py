@@ -49,6 +49,27 @@ def test_batched_decode_24bit(rng):
     np.testing.assert_array_equal(got, pcm)
 
 
+@pytest.mark.parametrize("bps", [12, 20])
+def test_non_byte_aligned_sample_sizes(rng, bps):
+    """12/20-bit streams (reference flac/common.py:249-256 codes) round-trip
+    through the device pipeline with a strict MD5-verified oracle decode:
+    streaminfo MD5 covers ceil(bps/8)-byte LE samples (RFC 9639 §8.2)."""
+    from flacx.oracle import decode_stream
+    from flacx.pipeline import encode_to_file
+
+    pcm = make_pcm(rng, 512 * 3, 2, bps, "tonal")
+    buf = io.BytesIO()
+    encode_to_file(buf, pcm, sample_rate=44100, bps=bps, channels=2,
+                   block_size=512, max_lpc_order=4, qlp_precision=5,
+                   partition_orders=(0, 1, 2), batch_frames=2)
+    data = buf.getvalue()
+    _, got = decode_array(data)
+    np.testing.assert_array_equal(got, pcm)
+    *_, rows = decode_stream(io.BytesIO(data))
+    strict = np.array([list(r) for r in rows], np.int32)
+    np.testing.assert_array_equal(strict, pcm)
+
+
 def test_frame_offset_scan(rng):
     pcm = make_pcm(rng, 512 * 4, 2, 16, "tonal")
     data = encode_bytes(pcm, block_size=512)
