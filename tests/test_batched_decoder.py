@@ -70,6 +70,39 @@ def test_non_byte_aligned_sample_sizes(rng, bps):
     np.testing.assert_array_equal(strict, pcm)
 
 
+@pytest.mark.parametrize("channels", [3, 4, 5, 7, 8])
+def test_all_channel_counts_roundtrip(rng, channels):
+    """Every FLAC channel count 1-8 (reference flac/common.py:199-227
+    codes; 1/2/6 covered elsewhere) round-trips through the device
+    pipeline and the batched decoder."""
+    from flacx.pipeline import encode_to_file
+
+    pcm = make_pcm(rng, 512 * 2, channels, 16, "tonal")
+    buf = io.BytesIO()
+    encode_to_file(buf, pcm, sample_rate=44100, bps=16, channels=channels,
+                   block_size=512, max_lpc_order=4, qlp_precision=5,
+                   partition_orders=(0, 1), batch_frames=2)
+    _, got = decode_array(buf.getvalue())
+    np.testing.assert_array_equal(got, pcm)
+
+
+@pytest.mark.parametrize("sr", [44101, 655350])
+def test_uncommon_sample_rate_roundtrip(rng, sr):
+    """Rates outside the 4-bit table use the uncommon 8/16-bit header
+    forms (reference flac/decoder.py:160-171) end to end, not just in
+    the format-layer unit tests."""
+    from flacx.pipeline import encode_to_file
+
+    pcm = make_pcm(rng, 512 * 2, 2, 16, "tonal")
+    buf = io.BytesIO()
+    encode_to_file(buf, pcm, sample_rate=sr, bps=16, channels=2,
+                   block_size=512, max_lpc_order=4, qlp_precision=5,
+                   partition_orders=(0, 1), batch_frames=2)
+    si, got = decode_array(buf.getvalue())
+    assert si.sample_rate == sr
+    np.testing.assert_array_equal(got, pcm)
+
+
 def test_frame_offset_scan(rng):
     pcm = make_pcm(rng, 512 * 4, 2, 16, "tonal")
     data = encode_bytes(pcm, block_size=512)
