@@ -110,9 +110,6 @@ def cmd_decode(path_in: Path, path_out: Path, device: bool = True,
         with open(path_in, "rb") as f:
             streaminfo, chunks = decode_stream(f, device=device,
                                                batch_frames=batch_frames)
-            if streaminfo.sample_size % 8:
-                raise SystemExit(
-                    "WAV output requires whole-byte sample sizes")
             md5 = hashlib.md5()
 
             def hashed():
@@ -136,8 +133,6 @@ def cmd_decode(path_in: Path, path_out: Path, device: bool = True,
                                        batch_frames=batch_frames)
         time_end = timer()
 
-        if streaminfo.sample_size % 8:
-            raise SystemExit("WAV output requires whole-byte sample sizes")
         if streaminfo.md5 != bytes(16):
             got = hashlib.md5(
                 pcm_to_le_bytes(pcm, streaminfo.sample_size)).digest()

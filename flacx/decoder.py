@@ -23,6 +23,7 @@ from __future__ import annotations
 import io
 import numpy as np
 
+import flacx.coded_number as _cn
 from flacx.bitio import BitReader
 from flacx.crc import crc8, crc16
 from flacx.format import MAGIC, MetadataBlockType, Streaminfo
@@ -49,62 +50,93 @@ def parse_stream_header(data: bytes) -> tuple[Streaminfo, int]:
     return streaminfo, r.bit_position // 8
 
 
-def scan_frame_offsets(data: bytes, first: int,
-                       block_size: int | None = None) -> np.ndarray:
-    """Find frame start offsets via sync + CRC-8 candidate filtering.
+#: coded-number continuation-byte count for each possible lead byte
+#: (flacx.coded_number.following_bytes as a LUT for the vectorized scan)
+_CN_EXTRA = np.array([_cn.following_bytes(b) for b in range(256)], np.int64)
 
-    Returns byte offsets of validated frame headers in ascending order.
-    A candidate survives only if its header parses and its CRC-8 matches
-    (a ~2^-30 false-positive filter); survivors are chained by their coded
-    frame/sample numbers.  The first frame may carry any starting number
-    (a stream cut mid-file still batch-decodes).  A duplicated coded
-    number among candidates (a CRC-8-passing false sync colliding with a
-    real frame number) is resolved by checking which candidate closes the
-    previous frame with a valid CRC-16.
+
+def _scan_candidates(arr: np.ndarray, first: int
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized sync + header-CRC-8 candidate filter.
+
+    Replaces the per-candidate Python loop (byte-serial ``crc8`` per
+    candidate) with lock-step numpy over ALL candidates at once: header
+    lengths from LUTs, CRC-8 via a 15-step table walk with per-candidate
+    freeze, coded numbers via a 6-step continuation fold.  Semantics are
+    identical to the scalar form (same survivors, numbers, strategies).
+
+    Returns ``(offsets, numbers, strategies)`` of surviving candidates.
     """
-    import flacx.coded_number as cn
+    from flacx.crc import crc_table
+    from flacx.format import CRC8_POLYNOMIAL
 
-    arr = np.frombuffer(data, np.uint8)
     # a frame needs >= 6 header bytes + subframe + CRC-16 after the sync;
     # tiny final frames (e.g. all-constant silence) sit close to the end
     lim = len(arr) - 6
     if lim <= first:
-        return np.asarray([], np.int64)
-    cand = np.nonzero((arr[first:lim] == 0xFF)
-                      & ((arr[first + 1:lim + 1] & 0xFE) == 0xF8))[0] + first
+        return (np.asarray([], np.int64),) * 3
+    cand = (np.nonzero((arr[first:lim] == 0xFF)
+                       & ((arr[first + 1:lim + 1] & 0xFE) == 0xF8))[0]
+            + first).astype(np.int64)
+    if not cand.size:
+        return (np.asarray([], np.int64),) * 3
 
-    offsets: list[int] = []
-    numbers: list[int] = []
-    strategies: list[int] = []
-    for off in cand.tolist():
-        # parse the variable-length header to find its CRC-8
-        b0 = arr[off + 4]
-        extra = cn.following_bytes(int(b0))
-        pos = off + 5 + extra
-        bs_code = arr[off + 2] >> 4
-        sr_code = arr[off + 2] & 0xF
-        if bs_code == 0b0110:
-            pos += 1
-        elif bs_code == 0b0111:
-            pos += 2
-        if sr_code == 0b1100:
-            pos += 1
-        elif sr_code in (0b1101, 0b1110):
-            pos += 2
-        if pos >= len(arr):
-            continue
-        if crc8(bytes(arr[off:pos])) != arr[pos]:
-            continue
-        try:
-            number = cn.decode(bytes(arr[off + 4: off + 5 + extra]))
-        except ValueError:
-            continue
-        offsets.append(off)
-        numbers.append(number)
-        strategies.append(int(arr[off + 1]) & 1)
+    b0 = arr[cand + 4].astype(np.int64)
+    extra = _CN_EXTRA[b0]
+    code = arr[cand + 2]
+    bs_code = code >> 4
+    sr_code = code & 0xF
+    hdr_len = (5 + extra
+               + np.where(bs_code == 0b0110, 1,
+                          np.where(bs_code == 0b0111, 2, 0))
+               + np.where(sr_code == 0b1100, 1,
+                          np.where((sr_code == 0b1101)
+                                   | (sr_code == 0b1110), 2, 0)))
+    ok = cand + hdr_len < len(arr)
 
-    if not offsets:
-        return np.asarray([], np.int64)
+    # CRC-8 over the variable-length header (≤ 15 bytes), all candidates
+    # in lock-step; rows past their length freeze
+    table8 = crc_table(8, CRC8_POLYNOMIAL)
+    crc = np.zeros(cand.shape, np.uint32)
+    last = len(arr) - 1
+    for i in range(15):
+        byte = arr[np.minimum(cand + i, last)].astype(np.uint32)
+        active = ok & (i < hdr_len)
+        crc = np.where(active, table8[byte ^ crc], crc)
+    ok &= arr[np.minimum(cand + hdr_len, last)] == crc
+
+    # coded-number decode (flacx.coded_number.decode, vectorized)
+    num = np.where(extra == 0, b0, b0 & (0xFF >> (extra + 2)))
+    for i in range(1, 7):
+        cont = arr[np.minimum(cand + 4 + i, last)].astype(np.int64)
+        act = i <= extra
+        ok &= ~act | ((cont & 0xC0) == 0x80)
+        num = np.where(act, (num << 6) | (cont & 0x3F), num)
+
+    strat = arr[cand + 1].astype(np.int64) & 1
+    return cand[ok], num[ok], strat[ok]
+
+
+def _scan_frame_offsets(data: bytes, first: int,
+                        block_size: int | None = None
+                        ) -> tuple[np.ndarray, bool]:
+    """Find frame start offsets via sync + CRC-8 candidate filtering.
+
+    Returns ``(offsets, ambiguous)``: byte offsets of validated frame
+    headers in ascending order, and whether any boundary had to be picked
+    heuristically (a duplicated coded number that CRC-16 of the previous
+    frame span could not uniquely resolve) — callers that skip CRC
+    verification must re-enable it for such scans.
+
+    A candidate survives only if its header parses and its CRC-8 matches
+    (a ~2^-30 false-positive filter); survivors are chained by their coded
+    frame/sample numbers.  The first frame may carry any starting number
+    (a stream cut mid-file still batch-decodes).
+    """
+    arr = np.frombuffer(data, np.uint8)
+    offs, nums, strats = _scan_candidates(arr, first)
+    if not offs.size:
+        return np.asarray([], np.int64), False
 
     # chain by coded number: fixed blocking counts frames (+1), variable
     # blocking counts samples (+block_size); start from the first
@@ -112,17 +144,24 @@ def scan_frame_offsets(data: bytes, first: int,
     # per stream, so the first (genuine) frame's bit is authoritative and
     # candidates carrying the other bit are false syncs — dropped, not a
     # reason to abandon the scan.
-    strategy = strategies[0]
+    strategy = int(strats[0])
     stride = 1
     if strategy == 1:
         if block_size is None:
             raise FlacFormatError("variable blocking needs block_size")
         stride = block_size
 
+    keep = strats == strategy
+    offs, nums = offs[keep], nums[keep]
+
+    # fast path (the overwhelmingly common shape): every survivor is a
+    # real boundary — numbers form exactly the stride chain
+    if offs.size and bool(np.all(np.diff(nums) == stride)):
+        return offs, False
+
     by_num: dict[int, list[int]] = {}
-    for off, num, strat in zip(offsets, numbers, strategies):
-        if strat == strategy:
-            by_num.setdefault(num, []).append(off)
+    for off, num in zip(offs.tolist(), nums.tolist()):
+        by_num.setdefault(num, []).append(off)
 
     # A CRC-8-passing false sync whose junk coded number collides with a
     # real frame number becomes MORE likely with file size (~2^-30 per
@@ -133,7 +172,8 @@ def scan_frame_offsets(data: bytes, first: int,
     # caught by the batch CRC-16 check, which falls back to the
     # sequential decoder — exactness never depends on this scan.
     chain: list[int] = []
-    expected = numbers[0]
+    ambiguous = False
+    expected = int(nums[0])
     last_off = first - 1
     while True:
         alts = [o for o in by_num.get(expected, []) if o > last_off]
@@ -147,11 +187,21 @@ def scan_frame_offsets(data: bytes, first: int,
                         == int.from_bytes(data[o - 2:o], "big")]
             else:
                 good = [o for o in alts if o == first]
+            if len(good) != 1:
+                # no (or several) candidates close the previous frame —
+                # the pick below is a guess, not a verified boundary
+                ambiguous = True
             alts = good or alts
         chain.append(alts[0])
         last_off = alts[0]
         expected += stride
-    return np.asarray(chain, np.int64)
+    return np.asarray(chain, np.int64), ambiguous
+
+
+def scan_frame_offsets(data: bytes, first: int,
+                       block_size: int | None = None) -> np.ndarray:
+    """Offsets-only wrapper of :func:`_scan_frame_offsets`."""
+    return _scan_frame_offsets(data, first, block_size)[0]
 
 
 #: jit cache for the fused device decode pipeline, keyed on every static
@@ -324,13 +374,21 @@ def decode_array(data: bytes, batch_frames: int = 256,
     c = streaminfo.channels
     total = streaminfo.samples
 
-    if (not device or streaminfo.min_block_size != streaminfo.max_block_size):
+    # tiny blocks (oracle-encoded, see flacx.pipeline) are not worth a
+    # device program: the sequential decoder beats the compile time
+    if (not device or streaminfo.min_block_size != streaminfo.max_block_size
+            or n < 64):
         return streaminfo, _decode_sequential(data, streaminfo)
 
     try:
-        offsets = scan_frame_offsets(data, first, block_size=n)
+        offsets, ambiguous = _scan_frame_offsets(data, first, block_size=n)
     except FlacFormatError:
         return streaminfo, _decode_sequential(data, streaminfo)
+    if ambiguous:
+        # a heuristically picked boundary could decode to wrong PCM with
+        # verification off; CRC-16 is the documented safety net for the
+        # ambiguity resolution, so it cannot be opted out of here
+        verify_crc = True
 
     n_full = total // n
     tail = total - n_full * n
@@ -542,6 +600,11 @@ def decode_stream(f, batch_frames: int = 256, verify_crc: bool = True,
     fixed_blocking = streaminfo.min_block_size == streaminfo.max_block_size
     bdec = (_RowBatchDecoder(streaminfo, verify_crc, sharding)
             if device and fixed_blocking else None)
+    # windows whose boundary scan resolved duplicates heuristically must
+    # verify CRC-16 even when the caller opted out (the safety net for
+    # the ambiguity resolution)
+    bdec_strict = (_RowBatchDecoder(streaminfo, True, sharding)
+                   if bdec is not None and not verify_crc else bdec)
 
     def sequential_window(buf: bytes, eof: bool):
         """Strict frame-by-frame decode of a window prefix.
@@ -581,9 +644,13 @@ def decode_stream(f, batch_frames: int = 256, verify_crc: bool = True,
             window = bytes(buf)
 
             offsets = np.asarray([], np.int64)
+            wdec = bdec
             if bdec is not None:
                 try:
-                    offsets = scan_frame_offsets(window, 0, block_size=n)
+                    offsets, ambiguous = _scan_frame_offsets(
+                        window, 0, block_size=n)
+                    if ambiguous:
+                        wdec = bdec_strict
                 except FlacFormatError:
                     pass
             # the window starts at a known frame boundary; a scan that
@@ -607,16 +674,16 @@ def decode_stream(f, batch_frames: int = 256, verify_crc: bool = True,
                     for i, (o, e) in enumerate(zip(full[lo:hi],
                                                    ends[lo:hi])):
                         rows[i, : e - o] = arr[o:e]
-                    entry = bdec.submit(rows, lens)
+                    entry = wdec.submit(rows, lens)
                     if pending is not None:
-                        pcm = bdec.try_resolve(pending)
+                        pcm = wdec.try_resolve(pending)
                         if pcm is None:
                             failed = True
                             break
                         results.append(pcm)
                     pending = entry
                 if not failed and pending is not None:
-                    pcm = bdec.try_resolve(pending)
+                    pcm = wdec.try_resolve(pending)
                     if pcm is None:
                         failed = True
                     else:

@@ -73,6 +73,16 @@ def _select_case(idx: jnp.ndarray, arr: jnp.ndarray,
     return jax.lax.select_n(which, *cases)
 
 
+def device_min_block_size(max_lpc_order: int) -> int:
+    """Smallest block size the batched device pipeline accepts.
+
+    Blocks below this (the reference encodes any size, forcing fixed
+    order 0 for blocks ≤ 4, flac/encoder.py:334-338) route through the
+    oracle encoder instead — see ``flacx.pipeline``.
+    """
+    return 2 * max(max_lpc_order, 4) + 2
+
+
 @dataclass(frozen=True)
 class EncoderConfig:
     """Static (compile-time) encoder configuration."""
@@ -124,8 +134,10 @@ class EncoderConfig:
             raise ValueError("max LPC order is 32")
         if self.max_lpc_order and self.qlp_precision < 5:
             raise ValueError("qlp precision must be >= 5")
-        if self.block_size < 2 * max(self.max_lpc_order, 4) + 2:
-            raise ValueError("block size too small for requested LPC order")
+        if self.block_size < device_min_block_size(self.max_lpc_order):
+            raise ValueError("block size too small for requested LPC order"
+                             " (route through the oracle path instead, see"
+                             " flacx.pipeline)")
         if self.bps > 31 and self.stereo == "auto":
             # side channel would need 33-bit samples; stay independent
             object.__setattr__(self, "stereo", "independent")

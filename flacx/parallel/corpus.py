@@ -68,10 +68,27 @@ def encode_corpus(paths: Sequence[Path | str], out_dir: Path | str, *,
         buckets.setdefault((sr, bps, ch), []).append((path, pcm))
 
     for (sr, bps, ch), files in buckets.items():
+        eff_order = (min(max_lpc_order, 12) if sr <= 48_000
+                     else max_lpc_order)
+        from flacx.encoder import device_min_block_size
+        if block_size < device_min_block_size(eff_order):
+            # tiny blocks route through the oracle path (see flacx.pipeline)
+            from flacx.pipeline import encode_to_file
+            for path, pcm in files:
+                with out_paths[path].open("wb") as f:
+                    encode_to_file(
+                        f, pcm, sample_rate=sr, bps=bps, channels=ch,
+                        block_size=block_size, max_lpc_order=eff_order,
+                        qlp_precision=qlp_precision,
+                        partition_orders=partition_orders, device=False)
+                    result.bytes_out += f.tell()
+                result.encoded.append(out_paths[path])
+                result.samples += pcm.shape[0]
+                result.bytes_in += pcm.shape[0] * ch * ((bps + 7) // 8)
+            continue
         cfg = EncoderConfig(
             sample_rate=sr, bps=bps, channels=ch, block_size=block_size,
-            max_lpc_order=min(max_lpc_order, 12) if sr <= 48_000
-            else max_lpc_order,
+            max_lpc_order=eff_order,
             qlp_precision=qlp_precision, partition_orders=partition_orders,
             stereo=stereo)
         enc = BatchEncoder(cfg, batch_frames=batch_frames, sharding=sharding)
@@ -128,5 +145,5 @@ def encode_corpus(paths: Sequence[Path | str], out_dir: Path | str, *,
                 result.bytes_out += f.tell()
             result.encoded.append(out_path)
             result.samples += total
-            result.bytes_in += total * ch * (bps // 8)
+            result.bytes_in += total * ch * ((bps + 7) // 8)
     return result

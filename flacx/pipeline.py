@@ -54,6 +54,12 @@ def encode_chunks_to_file(f: BinaryIO, chunks, *, sample_rate: int,
     patched into Streaminfo on finalize.  Output bytes are identical to
     the in-memory :func:`encode_to_file` path.
     """
+    from flacx.encoder import device_min_block_size
+    if device and block_size < device_min_block_size(max_lpc_order):
+        # tiny blocks (flac-py encodes any size, forcing fixed order 0 for
+        # blocks ≤ 4, flac/encoder.py:334-338) go through the oracle — the
+        # device pipeline's analysis shapes need 2·max(order,4)+2 samples
+        device = False
     writer = StreamWriter(f, sample_rate, bps, channels, total_samples,
                           block_size)
     run_stats: dict | None = {} if collect_stats else None
@@ -112,7 +118,7 @@ def encode_chunks_to_file(f: BinaryIO, chunks, *, sample_rate: int,
     result = {
         "samples": total,
         "frames": n_full + (1 if total % block_size else 0),
-        "bytes_in": total * channels * (bps // 8),
+        "bytes_in": total * channels * ((bps + 7) // 8),
         "bytes_out": f.tell(),
     }
     if collect_stats and device:

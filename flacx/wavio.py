@@ -98,16 +98,21 @@ def pcm_to_le_bytes(pcm: np.ndarray, bps: int) -> bytes:
 
 def write_wav(path: Path | str, sample_rate: int, bps: int,
               pcm: np.ndarray) -> None:
-    """Write int32 ``[frames, channels]`` PCM as a WAV file."""
-    if bps % 8:
-        raise ValueError("WAV requires whole-byte sample sizes")
+    """Write int32 ``[frames, channels]`` PCM as a WAV file.
+
+    Non-byte-aligned sample sizes (12, 20) are written into their
+    ceil(bps/8)-byte container exactly as the MD5 payload packs them
+    (RFC 9639 §8.2) — the same bytes ``pcm_to_le_bytes`` produces — so
+    a 12-bit FLAC decodes to a 16-bit-container WAV that re-encodes to
+    the identical stream.
+    """
     payload = pcm_to_le_bytes(pcm, bps)
-    if bps == 8:  # WAV stores 8-bit audio unsigned
+    if bps <= 8:  # WAV stores 8-bit audio unsigned
         payload = (np.frombuffer(payload, np.int8).astype(np.int16) + 128
                    ).astype(np.uint8).tobytes()
     with wave.open(str(path), "wb") as w:
         w.setnchannels(pcm.shape[1])
-        w.setsampwidth(bps // 8)
+        w.setsampwidth((bps + 7) // 8)
         w.setframerate(sample_rate)
         w.writeframes(payload)
 
@@ -119,18 +124,18 @@ def write_wav_chunks(path: Path | str, sample_rate: int, bps: int,
     The egress half of the constant-memory decode path: only one chunk is
     ever materialized as bytes (the ``wave`` module patches the header
     frame count on close, so the total length need not be known up
-    front).  Returns the number of audio frames written.
+    front).  Returns the number of audio frames written.  Non-byte
+    sample sizes use their ceil(bps/8)-byte container (see
+    :func:`write_wav`).
     """
-    if bps % 8:
-        raise ValueError("WAV requires whole-byte sample sizes")
     frames = 0
     with wave.open(str(path), "wb") as w:
         w.setnchannels(channels)
-        w.setsampwidth(bps // 8)
+        w.setsampwidth((bps + 7) // 8)
         w.setframerate(sample_rate)
         for pcm in chunks:
             payload = pcm_to_le_bytes(pcm, bps)
-            if bps == 8:  # WAV stores 8-bit audio unsigned
+            if bps <= 8:  # WAV stores 8-bit audio unsigned
                 payload = (np.frombuffer(payload, np.int8)
                            .astype(np.int16) + 128).astype(np.uint8)\
                     .tobytes()

@@ -279,15 +279,15 @@ def test_crc16_mismatch_falls_back_not_raise(rng, monkeypatch):
     n = 512
     pcm = make_pcm(rng, n * 4, 2, 16, "tonal")
     data = encode_bytes(pcm, block_size=n)
-    real_scan = dec.scan_frame_offsets
+    real_scan = dec._scan_frame_offsets
 
     def displaced(d, first, **kw):
-        off = real_scan(d, first, **kw)
+        off, amb = real_scan(d, first, **kw)
         off = off.copy()
         off[2] += 7          # displace one boundary -> CRC-16 mismatch
-        return off
+        return off, amb
 
-    monkeypatch.setattr(dec, "scan_frame_offsets", displaced)
+    monkeypatch.setattr(dec, "_scan_frame_offsets", displaced)
     _, got = dec.decode_array(data)
     np.testing.assert_array_equal(got, pcm)
 

@@ -1,0 +1,168 @@
+"""Round-3 hardening: tiny-block compat, 12/20-bit WAV egress,
+bytes-accounting for non-byte sample sizes, and forced CRC-16 under
+boundary-scan ambiguity (ADVICE round-2 items + VERDICT #9).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from flacx import pipeline
+from flacx.decoder import decode_array
+
+from conftest import make_pcm
+
+
+# ---------------------------------------------------------------------------
+# Tiny block sizes route through the oracle (reference encodes any size,
+# forcing fixed order 0 for blocks <= 4, flac/encoder.py:334-338)
+
+
+@pytest.mark.parametrize("block_size", [4, 8, 16])
+def test_tiny_block_encode_round_trip(rng, block_size):
+    pcm = make_pcm(rng, block_size * 5 + 3, 2, 16, "tonal")
+    buf = io.BytesIO()
+    stats = pipeline.encode_to_file(
+        buf, pcm, sample_rate=44100, bps=16, channels=2,
+        block_size=block_size, max_lpc_order=12, qlp_precision=5,
+        partition_orders=(0, 1, 2))
+    assert stats["samples"] == pcm.shape[0]
+    _, got = decode_array(buf.getvalue())
+    np.testing.assert_array_equal(got, pcm)
+
+
+def test_tiny_block_cross_decodes_with_reference(rng):
+    """The reference decoder reads our -b 8 output (surface-compat proof:
+    `flac-py encode -b 8` works on the reference too)."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    try:
+        from flac.decoder import decode as ref_decode
+    finally:
+        sys.path.remove("/root/reference")
+
+    pcm = make_pcm(rng, 8 * 4, 2, 16, "tonal")
+    buf = io.BytesIO()
+    pipeline.encode_to_file(
+        buf, pcm, sample_rate=44100, bps=16, channels=2, block_size=8,
+        max_lpc_order=12, qlp_precision=5, partition_orders=(0, 1, 2))
+    buf.seek(0)
+    sr, size, ch, nsamp, samples = ref_decode(buf)
+    got = np.array(list(samples), np.int32)
+    np.testing.assert_array_equal(got, pcm)
+
+
+def test_tiny_block_corpus(rng, tmp_path):
+    from flacx.parallel.corpus import encode_corpus
+    from flacx.wavio import write_wav
+
+    pcm = make_pcm(rng, 50, 2, 16, "tonal")
+    wav = tmp_path / "tiny.wav"
+    write_wav(wav, 44100, 16, pcm)
+    res = encode_corpus([wav], tmp_path / "out", block_size=8,
+                        max_lpc_order=8, partition_orders=(0,))
+    assert not res.failed and len(res.encoded) == 1
+    _, got = decode_array(res.encoded[0].read_bytes())
+    np.testing.assert_array_equal(got, pcm)
+
+
+# ---------------------------------------------------------------------------
+# 12/20-bit WAV egress (ADVICE: CLI decode of a 12-bit stream used to raise)
+
+
+@pytest.mark.parametrize("bps", [12, 20])
+def test_non_byte_bps_wav_round_trip(rng, tmp_path, bps):
+    from flacx.wavio import read_wav, write_wav
+
+    pcm = make_pcm(rng, 777, 2, bps, "tonal")
+    path = tmp_path / "x.wav"
+    write_wav(path, 44100, bps, pcm)
+    sr, container_bps, ch, got = (*read_wav(path),)
+    assert (sr, container_bps, ch) == (44100, 16 if bps == 12 else 24, 2)
+    np.testing.assert_array_equal(got, pcm)
+
+
+def test_cli_decode_12bit_stream(rng, tmp_path, capsys):
+    """End-to-end CLI claim for non-byte sample sizes: a 12-bit FLAC
+    stream decodes to a 16-bit-container WAV that re-encodes to the
+    identical stream."""
+    from flacx.cli import main
+
+    pcm = make_pcm(rng, 600, 2, 12, "tonal")
+    flac1 = tmp_path / "a.flac"
+    with flac1.open("wb") as f:
+        pipeline.encode_to_file(
+            f, pcm, sample_rate=44100, bps=12, channels=2, block_size=256,
+            max_lpc_order=8, qlp_precision=5, partition_orders=(0, 1))
+    wav = tmp_path / "a.wav"
+    main(["decode", str(flac1), str(wav)])
+    _, container_bps, _, got = __import__(
+        "flacx.wavio", fromlist=["read_wav"]).read_wav(wav)
+    assert container_bps == 16
+    np.testing.assert_array_equal(got, pcm)
+
+
+def test_bytes_in_uses_container_bytes(rng):
+    pcm = make_pcm(rng, 512, 2, 12, "tonal")
+    buf = io.BytesIO()
+    stats = pipeline.encode_to_file(
+        buf, pcm, sample_rate=44100, bps=12, channels=2, block_size=256,
+        max_lpc_order=8, qlp_precision=5, partition_orders=(0, 1))
+    assert stats["bytes_in"] == 512 * 2 * 2   # ceil(12/8) = 2 bytes/sample
+
+
+# ---------------------------------------------------------------------------
+# Ambiguity in the boundary scan forces CRC-16 even with verify_crc=False
+
+
+def test_ambiguous_scan_forces_crc(rng, monkeypatch):
+    import flacx.decoder as dec
+
+    n = 512
+    pcm = make_pcm(rng, n * 4, 2, 16, "tonal")
+    buf = io.BytesIO()
+    pipeline.encode_to_file(
+        buf, pcm, sample_rate=44100, bps=16, channels=2, block_size=n,
+        max_lpc_order=8, qlp_precision=5, partition_orders=(0, 1, 2))
+    data = buf.getvalue()
+
+    real_scan = dec._scan_frame_offsets
+    real_dev = dec._decode_rows_device
+    seen_verify = []
+
+    def ambiguous_scan(d, first, **kw):
+        off, _ = real_scan(d, first, **kw)
+        return off, True                     # pretend a heuristic pick
+
+    def recording_dev(rows, lens, n_, c_, bps_, verify_crc, sharding=None):
+        seen_verify.append(verify_crc)
+        return real_dev(rows, lens, n_, c_, bps_, verify_crc, sharding)
+
+    monkeypatch.setattr(dec, "_scan_frame_offsets", ambiguous_scan)
+    monkeypatch.setattr(dec, "_decode_rows_device", recording_dev)
+    _, got = dec.decode_array(data, verify_crc=False)
+    np.testing.assert_array_equal(got, pcm)
+    assert seen_verify and all(seen_verify), \
+        "ambiguous scan must force CRC-16 verification"
+
+
+def test_vectorized_scan_matches_candidates(rng):
+    """The numpy candidate filter finds exactly the real frame headers on
+    a clean stream (plus drops every junk sync)."""
+    import flacx.decoder as dec
+
+    n = 256
+    pcm = make_pcm(rng, n * 10, 2, 16, "noise")
+    buf = io.BytesIO()
+    pipeline.encode_to_file(
+        buf, pcm, sample_rate=44100, bps=16, channels=2, block_size=n,
+        max_lpc_order=8, qlp_precision=5, partition_orders=(0, 1, 2))
+    data = buf.getvalue()
+    _, first = dec.parse_stream_header(data)
+    offs, ambiguous = dec._scan_frame_offsets(data, first, block_size=n)
+    assert not ambiguous
+    assert len(offs) == 10
+    # every offset starts with a genuine sync + increasing coded numbers
+    arr = np.frombuffer(data, np.uint8)
+    assert (arr[offs] == 0xFF).all()
