@@ -122,8 +122,19 @@ class EncoderConfig:
     #: crashes on such streams) and out-of-the-box interop with it is a
     #: compatibility goal.
     wasted_bits: bool = False
+    #: Reference-conformance mode: reproduce the reference encoder's
+    #: parameter choices exactly (magnitude-heuristic selection,
+    #: CPython-sequenced f64 analysis, mean-estimate Rice parameters,
+    #: independent channels) so the device frames are byte-identical to
+    #: the oracle's — see ``flacx.conformance``.  Forces
+    #: stereo="independent", escapes off, wasted bits off.
+    conformance: bool = False
 
     def __post_init__(self):
+        if self.conformance:
+            object.__setattr__(self, "stereo", "independent")
+            object.__setattr__(self, "escapes", False)
+            object.__setattr__(self, "wasted_bits", False)
         if self.order_search not in ("estimate", "exact"):
             raise ValueError("order_search must be 'estimate' or 'exact'")
         if self.analysis_dtype not in ("auto", "f32", "f64"):
@@ -158,13 +169,14 @@ class EncoderConfig:
 
     @property
     def porders(self) -> tuple[int, ...]:
-        """Legal partition orders: requested ∪ {0} fallback, divisibility,
-        and a partition-size floor of 64 samples (sub-64 partitions cost
-        more in parameter fields than they save and would blow up the
-        exhaustive-search tensors at block 16384 / order 15)."""
+        """Legal partition orders: requested ∪ {0} fallback, filtered only
+        by the 4-bit field (≤ 15) and divisibility — exactly the
+        reference's filter (flac/encoder.py:655-695, filter at 664-667).
+        Every requested order is searched; sub-64-sample partitions (down
+        to 1 sample at block 16384 / -r 14) take the k-chunked plan path
+        in ``flacx.ops.rice`` to bound search memory."""
         legal = [o for o in self.partition_orders
-                 if o <= 15 and self.block_size % (1 << o) == 0
-                 and (self.block_size >> o) >= 64]
+                 if o <= 15 and self.block_size % (1 << o) == 0]
         return tuple(sorted(set(legal) | {0}))
 
     @property
@@ -566,7 +578,11 @@ class BatchEncoder:
                  sharding=None):
         self.config = config
         self.batch_frames = batch_frames
-        fn = functools.partial(_encode_batch, config)
+        if config.conformance:
+            from flacx.conformance import encode_batch_conformance
+            fn = functools.partial(encode_batch_conformance, config)
+        else:
+            fn = functools.partial(_encode_batch, config)
         kwargs = {}
         if sharding is not None:
             kwargs["in_shardings"] = (sharding, None)
@@ -589,12 +605,31 @@ class BatchEncoder:
                         jnp.asarray(frame_indices, jnp.int64))
 
     def _drain(self, entry: tuple[dict, int],
-               stats: dict | None) -> list[bytes]:
+               stats: dict | None, chunk: np.ndarray | None = None,
+               index0: int = 0) -> list[bytes]:
         """Fetch one finished device batch and assemble its frame bytes."""
         from flacx.native import assemble_frames
         result, valid = entry
         data = np.asarray(result["bytes"])
         lens = np.asarray(result["length"])
+        if "overflow" in result and chunk is not None:
+            over = np.asarray(result["overflow"])[:valid]
+            if over.any():
+                # conformance mode: frames whose reference-choice Rice
+                # codes exceed the 32-bit packer symbol go through the
+                # oracle (byte-identical by its parity proof)
+                frames = assemble_frames(data[:valid], lens[:valid])
+                from flacx.pipeline import _oracle_frame
+                cfg = self.config
+                for i in np.nonzero(over)[0]:
+                    frames[i] = _oracle_frame(
+                        chunk[i].T, index0 + int(i), cfg.bps,
+                        cfg.block_size, cfg.max_lpc_order,
+                        cfg.qlp_precision, cfg.partition_orders)
+                if stats is not None:
+                    stats["frame_bytes"] = (stats.get("frame_bytes", 0)
+                                            + sum(map(len, frames)))
+                return frames
         if stats is not None:
             kinds = np.asarray(result["kind"])[:valid].ravel()
             kh = stats.setdefault("subframe_kinds", {})
@@ -627,7 +662,8 @@ class BatchEncoder:
         histograms plus total frame bytes.
         """
         bsz = self.batch_frames
-        pending: list[tuple[dict, int]] = []
+        keep_pcm = self.config.conformance
+        pending: list[tuple[tuple[dict, int], np.ndarray | None, int]] = []
         index = first_index
         for chunk in batches:
             valid = chunk.shape[0]
@@ -639,13 +675,16 @@ class BatchEncoder:
                     [chunk, np.zeros((bsz - valid, *chunk.shape[1:]),
                                      chunk.dtype)], axis=0)
             result = self.encode_batch_device(chunk, index)
+            pending.append(((result, valid), chunk if keep_pcm else None,
+                            index))
             index += valid
-            pending.append((result, valid))
             # keep at most one batch in flight to overlap host assembly
             if len(pending) > 1:
-                yield from self._drain(pending.pop(0), stats)
+                entry, pcm_c, idx0 = pending.pop(0)
+                yield from self._drain(entry, stats, pcm_c, idx0)
         while pending:
-            yield from self._drain(pending.pop(0), stats)
+            entry, pcm_c, idx0 = pending.pop(0)
+            yield from self._drain(entry, stats, pcm_c, idx0)
 
     def encode_frames(self, pcm: np.ndarray, first_index: int,
                       stats: dict | None = None) -> list[bytes]:

@@ -227,16 +227,25 @@ def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
                                    ).reshape(b, c,
                                              (nseg - 1) * (psize_min + 8))
             return [pv[..., :33], z7, sv[..., :psize_min], rest]
-        out = []
-        cursor = 0
-        for j, pos in enumerate(ppos):
-            if pos > cursor:
-                out.append(sv[..., cursor:pos])
-                cursor = pos
-            out.append(pv[..., j:j + 1])
-        if cursor < n:
-            out.append(sv[..., cursor:])
-        return out
+        # General segment layout, valid for ANY psize_min >= 1 (the full
+        # -r 0..15 search can drive psize_min down to 1): the head param
+        # slots at non-multiple positions < 33 are emitted first (at most
+        # one — partition 0's parameter at sample ``order`` — is nonzero,
+        # and samples 0..order-1 are zero-length, so it still precedes
+        # the first nonzero sample symbol; every later partition start is
+        # > order and segment-aligned).  Then each of the n/psize_min
+        # segments leads with its own param slot — two reshapes instead
+        # of a per-slot Python concat loop (which would build an
+        # O(n/psize_min)-node XLA graph).
+        nseg = n // psize_min
+        extra = [j for j, pos in enumerate(ppos) if pos % psize_min]
+        mult = [j for j, pos in enumerate(ppos) if pos % psize_min == 0]
+        assert len(mult) == nseg
+        seg = jnp.concatenate(
+            [pv[..., mult][..., None],
+             sv.reshape(b, c, nseg, psize_min)], axis=-1
+        ).reshape(b, c, nseg * (psize_min + 1))
+        return ([pv[..., extra], seg] if extra else [seg])
 
     values = jnp.concatenate([hdr_v, *interleave(param_v, samp_v)], axis=-1)
     lengths = jnp.concatenate([hdr_l, *interleave(param_l, samp_l)], axis=-1)
@@ -244,9 +253,11 @@ def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
 
 
 def subframe_slot_count(max_taps: int, n: int, psize_min: int) -> int:
+    ppos = param_slot_positions(n, psize_min)
     if blocked_layout_ok(n, psize_min):
         nseg = n // psize_min
         samp = 40 + psize_min + (nseg - 1) * (psize_min + 8)
     else:
-        samp = n + len(param_slot_positions(n, psize_min))
+        nseg = n // psize_min
+        samp = (len(ppos) - nseg) + nseg * (psize_min + 1)
     return 4 + 2 * max_taps + samp

@@ -83,23 +83,6 @@ def estimate_bits(zz_sum: jnp.ndarray, count: jnp.ndarray,
     return (zz_sum >> k) + (k + 1) * count
 
 
-def partition_sums(zz: jnp.ndarray, max_porder: int,
-                   kmax: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Finest-level partition statistics.
-
-    Returns ``(S, M)`` where ``S[..., p, k] = Σ_{i in p} (zz_i >> k)`` and
-    ``M[..., p] = max_{i in p} zz_i``.  ``n`` must be divisible by
-    ``2**max_porder``.
-    """
-    n = zz.shape[-1]
-    nparts = 1 << max_porder
-    psize = n >> max_porder
-    zzr = zz.reshape(*zz.shape[:-1], nparts, psize)
-    sums = jnp.stack([jnp.sum(zzr >> k, axis=-1, dtype=jnp.int64)
-                      for k in range(kmax + 1)], axis=-1)
-    return sums, jnp.max(zzr, axis=-1)  # [..., nparts, kmax+1], [..., nparts]
-
-
 def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
                preferred: Sequence[int], kmax: int,
                allow_escape: bool = True) -> RicePlan:
@@ -125,16 +108,65 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     n = zz.shape[-1]
     lead = zz.shape[:-1]
     max_po = max(porders)
-    ks = jnp.arange(kmax + 1, dtype=jnp.int64)
+    nparts_max = 1 << max_po
+    psize_fine = n >> max_po
+    zzr = zz.reshape(*lead, nparts_max, psize_fine)
 
-    # Finest-level sums and maxima, then halve up the tree.
-    s_fine, m_fine = partition_sums(zz, max_po, kmax)
-    s_by_po, m_by_po = {max_po: s_fine}, {max_po: m_fine}
+    # Partition maxima: finest level, then halve up the tree.
+    m_by_po = {max_po: jnp.max(zzr, axis=-1)}
     for po in range(max_po, 0, -1):
-        s = s_by_po[po]
-        s_by_po[po - 1] = s[..., 0::2, :] + s[..., 1::2, :]
         m = m_by_po[po]
         m_by_po[po - 1] = jnp.maximum(m[..., 0::2], m[..., 1::2])
+
+    # Per-(order, partition) running Rice minima, folded over k-CHUNKS:
+    # the full ``S[..., nparts, kmax+1]`` sum tensor at the finest level
+    # is ~nparts·(kmax+1)·8 bytes per lead element — fine at the default
+    # orders (nparts ≤ 32) but multi-GB at -r 14 / block 16384 (nparts
+    # 16384), so k is processed in slices sized to keep the in-flight
+    # tensor ≤ ~32 KB per lead element.  Each k is still summed exactly
+    # once; coarser levels are pairwise adds of the chunk's fine sums.
+    n_k4 = min(kmax, 14) + 1  # 4-bit method can express k ≤ 14
+    rice_min4, rice_arg4, rice_min5, rice_arg5 = {}, {}, {}, {}
+    for po in porders:
+        shape = (*lead, 1 << po)
+        rice_min4[po] = jnp.full(shape, INVALID)
+        rice_arg4[po] = jnp.zeros(shape, jnp.int32)
+        rice_min5[po] = jnp.full(shape, INVALID)
+        rice_arg5[po] = jnp.zeros(shape, jnp.int32)
+
+    kc = max(1, 4096 // nparts_max)
+    for k0 in range(0, kmax + 1, kc):
+        k1 = min(k0 + kc, kmax + 1)
+        ks_c = jnp.arange(k0, k1, dtype=jnp.int64)
+        s = jnp.stack([jnp.sum(zzr >> k, axis=-1, dtype=jnp.int64)
+                       for k in range(k0, k1)], axis=-1)
+        for po in range(max_po, -1, -1):
+            if po < max_po:
+                s = s[..., 0::2, :] + s[..., 1::2, :]
+            if po not in porders:
+                continue
+            nparts = 1 << po
+            psize = n >> po
+            m = m_by_po[po]
+            is_p0 = (jnp.arange(nparts) == 0)
+            cnt = psize - order[..., None] * is_p0  # [..., nparts]
+            bits_pk = s + (ks_c + 1) * cnt[..., None].astype(jnp.int64)
+            # code-length cap: only k whose worst code fits one word
+            q_ok = (m[..., None] >> ks_c) + ks_c + 1 <= CODE_BITS_MAX
+            bits_pk = jnp.where(q_ok, bits_pk, INVALID)
+
+            cmin = jnp.min(bits_pk, axis=-1)
+            carg = (k0 + jnp.argmin(bits_pk, axis=-1)).astype(jnp.int32)
+            take = cmin < rice_min5[po]     # strict: ties keep lower k
+            rice_arg5[po] = jnp.where(take, carg, rice_arg5[po])
+            rice_min5[po] = jnp.minimum(cmin, rice_min5[po])
+            if k0 < n_k4:
+                sub = bits_pk[..., : n_k4 - k0]
+                cmin4 = jnp.min(sub, axis=-1)
+                carg4 = (k0 + jnp.argmin(sub, axis=-1)).astype(jnp.int32)
+                take4 = cmin4 < rice_min4[po]
+                rice_arg4[po] = jnp.where(take4, carg4, rice_arg4[po])
+                rice_min4[po] = jnp.minimum(cmin4, rice_min4[po])
 
     best_bits = jnp.full(lead, INVALID)
     best_po = jnp.zeros(lead, jnp.int32)
@@ -142,19 +174,12 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     k4_levels, k5_levels = {}, {}
     e4_levels, e5_levels = {}, {}
 
-    n_k4 = min(kmax, 14) + 1  # 4-bit method can express k ≤ 14
-
     for po in porders:
         nparts = 1 << po
         psize = n >> po
-        s = s_by_po[po]  # [..., nparts, kmax+1]
         m = m_by_po[po]  # [..., nparts]
         is_p0 = (jnp.arange(nparts) == 0)
         cnt = psize - order[..., None] * is_p0  # [..., nparts]
-        bits_pk = s + (ks + 1) * cnt[..., None].astype(jnp.int64)
-        # code-length cap: only k whose worst code fits one word are eligible
-        q_ok = (m[..., None] >> ks) + ks + 1 <= CODE_BITS_MAX
-        bits_pk = jnp.where(q_ok, bits_pk, INVALID)
 
         # ESCAPED partition candidate (all-ones parameter, 5-bit raw size
         # E, then count E-bit two's-complement residuals — the grammar the
@@ -163,18 +188,16 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
         # r >= 0 signed width is bitlen(r)+1 = bitlen(zz=2r); for r < 0 it
         # is bitlen(zz=2|r|-1).  So E = bitlen(max zz), valid while ≤ 31.
         # E ≥ 1: the reference decoder's sint(0) raises (binary.py:129-131)
-        # and 0-bit escapes never beat Rice k=0 anyway (5+0 vs count·1 only
-        # for count<5 partitions, which the 64-sample floor precludes).
+        # and a 1-bit escape is never worse than a 0-bit one by more than
+        # count bits on all-zero sub-5-sample partitions.
         mbits = jnp.iinfo(m.dtype).bits
         esc_e = jnp.maximum(mbits - jax.lax.clz(m), 1).astype(jnp.int64)
         esc_cost = 5 + esc_e * cnt.astype(jnp.int64)
         esc_cost = jnp.where(allow_escape & (esc_e <= 31), esc_cost,
                              INVALID)
 
-        min4 = jnp.min(bits_pk[..., :n_k4], axis=-1)
-        arg4 = jnp.argmin(bits_pk[..., :n_k4], axis=-1).astype(jnp.int32)
-        min5 = jnp.min(bits_pk, axis=-1)
-        arg5 = jnp.argmin(bits_pk, axis=-1).astype(jnp.int32)
+        min4, arg4 = rice_min4[po], rice_arg4[po]
+        min5, arg5 = rice_min5[po], rice_arg5[po]
         esc4 = esc_cost < min4
         esc5 = esc_cost < min5
         min4 = jnp.minimum(min4, esc_cost)
@@ -187,10 +210,16 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
         tot4 = 6 + jnp.sum(4 + min4, axis=-1)
         tot5 = 6 + jnp.sum(5 + min5, axis=-1)
 
-        valid = psize > order
+        # a partition with NO eligible coding (no k fits the code cap and
+        # no escape) poisons the whole order; summing INVALID over up to
+        # 2^15 partitions would wrap int64, so mask explicitly
+        valid = ((psize > order)
+                 & ~jnp.any(min4 >= INVALID, axis=-1))
+        valid5 = ((psize > order)
+                  & ~jnp.any(min5 >= INVALID, axis=-1))
         bias = 0 if po in preferred else FALLBACK_BIAS
         tot4 = jnp.where(valid, tot4 + bias, INVALID)
-        tot5 = jnp.where(valid, tot5 + bias, INVALID)
+        tot5 = jnp.where(valid5, tot5 + bias, INVALID)
 
         take4 = tot4 < best_bits
         best_po = jnp.where(take4, po, best_po)

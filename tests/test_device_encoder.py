@@ -138,7 +138,9 @@ def test_hires_config(rng):
     cfg = EncoderConfig(block_size=1024, max_lpc_order=32, bps=24,
                         sample_rate=96000,
                         partition_orders=tuple(range(16)))
-    assert max(cfg.porders) == 4  # 1024/64: partition-size floor applies
+    # full requested range is honored down to 1-sample partitions
+    # (1024 = 2^10; orders 11..15 fail divisibility only)
+    assert max(cfg.porders) == 10
     roundtrip(pcm, cfg)
 
 

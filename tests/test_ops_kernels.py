@@ -158,6 +158,44 @@ def _brute_force_rice(zz, order, porders, preferred, kmax, n):
     return best[0] - (best[0] >= (1 << 40)) * (1 << 40), best[1], best[2]
 
 
+def test_exact_rice_plan_vs_bruteforce_no_floor(rng):
+    """Full partition-order range (VERDICT round-2 #1): sub-64-sample
+    partitions down to psize=1 are searched exactly — same filter as the
+    reference (flac/encoder.py:655-695), no floor, no cap."""
+    n, kmax = 64, 12
+    porders = tuple(range(7))          # psize 64 .. 1
+    for scale in [3, 200, 40000]:
+        r = rng.integers(-scale, scale, size=n)
+        order = int(rng.integers(0, 5))
+        r[:order] = 0
+        zz = np.array([zigzag_encode(int(v)) for v in r], np.int64)
+        plan = exact_plan(jnp.asarray(zz)[None], jnp.asarray([order]),
+                          porders, porders, kmax, allow_escape=False)
+        want_bits, want_po, want_width = _brute_force_rice(
+            zz, order, porders, porders, kmax, n)
+        assert int(plan.bits[0]) == want_bits
+        assert int(plan.porder[0]) == want_po
+        assert int(plan.width[0]) == want_width
+
+
+def test_exact_rice_plan_kchunked_path(rng):
+    """nparts > 2048 activates the k-chunked accumulation; the result
+    must equal the brute-force sweep exactly."""
+    n, kmax = 4096, 8
+    porders = tuple(range(13))         # psize 4096 .. 1, nparts up to 4096
+    r = rng.integers(-900, 900, size=n)
+    order = 3
+    r[:order] = 0
+    zz = np.array([zigzag_encode(int(v)) for v in r], np.int64)
+    plan = exact_plan(jnp.asarray(zz)[None], jnp.asarray([order]),
+                      porders, porders, kmax, allow_escape=False)
+    want_bits, want_po, want_width = _brute_force_rice(
+        zz, order, porders, porders, kmax, n)
+    assert int(plan.bits[0]) == want_bits
+    assert int(plan.porder[0]) == want_po
+    assert int(plan.width[0]) == want_width
+
+
 def test_exact_rice_plan_vs_bruteforce(rng):
     n, kmax = 64, 18
     porders = (0, 1, 2, 3)

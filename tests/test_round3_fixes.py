@@ -147,6 +147,48 @@ def test_ambiguous_scan_forces_crc(rng, monkeypatch):
         "ambiguous scan must force CRC-16 verification"
 
 
+# ---------------------------------------------------------------------------
+# Full partition-order range (VERDICT #1): no 64-sample floor, no cap
+
+
+def test_full_partition_range_no_floor(rng):
+    """-r 0..15 at block 512 searches orders 0..9 (psize down to 1) —
+    round-trips bit-exact, cross-decodes with the reference, and never
+    compresses worse than the formerly-floored range 0..3."""
+    import sys
+
+    from flacx.encoder import EncoderConfig
+
+    cfg = EncoderConfig(block_size=512, max_lpc_order=8,
+                        partition_orders=tuple(range(16)))
+    assert cfg.porders == tuple(range(10))   # 512 = 2^9
+
+    pcm = make_pcm(rng, 512 * 6, 2, 16, "impulse")
+    sizes = {}
+    streams = {}
+    for name, orders in (("full", tuple(range(16))),
+                         ("floored", (0, 1, 2, 3))):
+        buf = io.BytesIO()
+        pipeline.encode_to_file(
+            buf, pcm, sample_rate=44100, bps=16, channels=2,
+            block_size=512, max_lpc_order=8, qlp_precision=5,
+            partition_orders=orders, order_search="exact")
+        sizes[name] = buf.tell()
+        streams[name] = buf.getvalue()
+    assert sizes["full"] <= sizes["floored"]
+
+    _, got = decode_array(streams["full"])
+    np.testing.assert_array_equal(got, pcm)
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from flac.decoder import decode as ref_decode
+    finally:
+        sys.path.remove("/root/reference")
+    sr, size, ch, nsamp, samples = ref_decode(io.BytesIO(streams["full"]))
+    np.testing.assert_array_equal(np.array(list(samples), np.int32), pcm)
+
+
 def test_vectorized_scan_matches_candidates(rng):
     """The numpy candidate filter finds exactly the real frame headers on
     a clean stream (plus drops every junk sync)."""

@@ -71,11 +71,11 @@ def make_corpus(seconds: float) -> dict[str, np.ndarray]:
     }
 
 
-def encode_reference(pcm: np.ndarray) -> int | None:
+def encode_reference(pcm: np.ndarray, max_porder: int = 5) -> int | None:
     sys.path.insert(0, "/root/reference")
     from flac.encoder import EncoderParameters, encode
     params = EncoderParameters(block_size=4608,
-                               rice_partition_order=range(0, 6),
+                               rice_partition_order=range(0, max_porder + 1),
                                lpc_order=range(0, 13), qlp_precision=5)
     rows = [[int(a), int(b)] for a, b in pcm]
     try:
@@ -86,12 +86,13 @@ def encode_reference(pcm: np.ndarray) -> int | None:
         return None
 
 
-def encode_flacx(pcm: np.ndarray, mode: str) -> int:
+def encode_flacx(pcm: np.ndarray, mode: str, max_porder: int = 5) -> int:
     from flacx import pipeline
     buf = io.BytesIO()
     common = dict(sample_rate=SR, bps=BPS, channels=2,
                   max_lpc_order=12, qlp_precision=5,
-                  partition_orders=(0, 1, 2, 3, 4, 5), batch_frames=16)
+                  partition_orders=tuple(range(max_porder + 1)),
+                  batch_frames=16)
     if mode == "best":
         pipeline.encode_best(buf, pcm, **common)
     else:
@@ -114,8 +115,13 @@ def main() -> None:
                           ("exact", "flacx_exact"),
                           ("best", "flacx_best")):
             row[key] = encode_flacx(pcm, mode)
+        # full requested partition range -r 0..15 (VERDICT round-2 #1:
+        # the former 64-sample floor silently truncated this to 0..6;
+        # both encoders now search the identical legal set 0..9 at 4608)
+        row["reference_r15"] = encode_reference(pcm, max_porder=15)
+        row["flacx_exact_r15"] = encode_flacx(pcm, "exact", max_porder=15)
         for k in ("reference_default", "flacx_default", "flacx_exact",
-                  "flacx_best"):
+                  "flacx_best", "reference_r15", "flacx_exact_r15"):
             if row[k] is not None:
                 row[f"{k}_ratio"] = round(row[k] / wav_bytes, 4)
         if row["reference_default"] is not None:
@@ -123,26 +129,37 @@ def main() -> None:
                 row[f"{k}_vs_ref_pct"] = round(
                     100.0 * (row[k] - row["reference_default"])
                     / row["reference_default"], 2)
+        if row["reference_r15"] is not None:
+            row["flacx_exact_r15_vs_ref_pct"] = round(
+                100.0 * (row["flacx_exact_r15"] - row["reference_r15"])
+                / row["reference_r15"], 2)
         results[name] = row
         print(f"    ref={row['reference_default']}  "
               f"flacx est/exact/best={row['flacx_default']}/"
-              f"{row['flacx_exact']}/{row['flacx_best']}")
+              f"{row['flacx_exact']}/{row['flacx_best']}  "
+              f"r15 ref/flacx={row['reference_r15']}/"
+              f"{row['flacx_exact_r15']}")
 
     never_worse_exact = all(
         r["flacx_exact"] <= r["reference_default"]
         for r in results.values() if r["reference_default"] is not None)
+    never_worse_r15 = all(
+        r["flacx_exact_r15"] <= r["reference_r15"]
+        for r in results.values() if r["reference_r15"] is not None)
     artifact = {
         "config": {"sample_rate": SR, "bps": BPS, "channels": 2,
                    "seconds_per_signal": seconds, "block_size": 4608,
                    "max_lpc_order": 12, "qlp_precision": 5,
                    "partition_orders": [0, 1, 2, 3, 4, 5]},
         "never_worse_at_exact_settings": never_worse_exact,
+        "never_worse_at_r15": never_worse_r15,
         "signals": results,
     }
     out = os.path.join(REPO, "COMPRESSION.json")
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"\nnever_worse_at_exact_settings: {never_worse_exact}")
+    print(f"never_worse_at_r15: {never_worse_r15}")
     print(f"wrote {out}")
 
 
