@@ -42,7 +42,8 @@ def encode_chunks_to_file(f: BinaryIO, chunks, *, sample_rate: int,
                           device: bool = True, wasted_bits: bool = False,
                           escapes: bool = True,
                           order_search: str = "estimate", sharding=None,
-                          collect_stats: bool = False) -> dict:
+                          collect_stats: bool = False,
+                          conformance: bool = False) -> dict:
     """Constant-memory encode of a PCM chunk stream into ``f`` (seekable).
 
     ``chunks`` is an iterable of interleaved int32 ``[n, channels]``
@@ -93,7 +94,7 @@ def encode_chunks_to_file(f: BinaryIO, chunks, *, sample_rate: int,
             block_size=block_size, max_lpc_order=max_lpc_order,
             qlp_precision=qlp_precision, partition_orders=partition_orders,
             stereo=stereo, wasted_bits=wasted_bits, escapes=escapes,
-            order_search=order_search)
+            order_search=order_search, conformance=conformance)
         enc = BatchEncoder(cfg, batch_frames=batch_frames, sharding=sharding)
         writer.write_frames(enc.encode_frame_stream(
             full_block_batches(), 0, stats=run_stats))
@@ -133,7 +134,8 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
                    stereo: str = "auto", device: bool = True,
                    wasted_bits: bool = False, escapes: bool = True,
                    order_search: str = "estimate",
-                   sharding=None, collect_stats: bool = False) -> dict:
+                   sharding=None, collect_stats: bool = False,
+                   conformance: bool = False) -> dict:
     """Encode interleaved PCM ``[frames, channels]`` into ``f`` (seekable).
 
     In-memory convenience wrapper over :func:`encode_chunks_to_file`
@@ -147,7 +149,7 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
         total_samples=pcm.shape[0], batch_frames=batch_frames,
         stereo=stereo, device=device, wasted_bits=wasted_bits,
         escapes=escapes, order_search=order_search, sharding=sharding,
-        collect_stats=collect_stats)
+        collect_stats=collect_stats, conformance=conformance)
 
 
 def encode_best(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int, bps: int,
