@@ -157,6 +157,51 @@ def main() -> None:
     td_big = time.time() - t0
     dec_sps = n * b * 2 / ((td_big - td_small) / 8)
 
+    # -- END-TO-END decode: file bytes on host → CRC-verified PCM in HBM,
+    # wall-clock, including the vectorized boundary scan, the C++
+    # structure walker and all host row assembly (VERDICT round-2 #2).
+    # PCM stays in HBM and the err/CRC verdicts are folded to ONE device
+    # scalar fetched once, consistent with the encode methodology (the
+    # ~30 MB/s dev-tunnel DMA is not production host I/O).  A 4× longer
+    # stream amortizes the tunnel's fixed per-fetch latency.
+    from flacx.decoder import _decode_rows_device, _scan_frame_offsets
+
+    streams4 = [make_stream(b)]
+    for rep in range(3):
+        res_r = enc.encode_batch_device(
+            np.asarray(planar) + (rep % 3) - 1, (rep + 1) * b)
+        lens_r = np.asarray(res_r["length"])
+        data_r = np.asarray(res_r["bytes"])
+        streams4.append(b"".join(data_r[i, : lens_r[i]].tobytes()
+                                 for i in range(b)))
+    long_stream = streams4[0] + b"".join(streams4[1:])
+    n_frames = 4 * b
+
+    def e2e_decode(data: bytes) -> float:
+        t0 = time.time()
+        _, first_ = parse_stream_header(data)
+        offs, _ = _scan_frame_offsets(data, first_, block_size=n)
+        assert len(offs) == n_frames
+        arr_ = np.frombuffer(data, np.uint8)
+        ends_ = np.append(offs[1:], len(data))
+        bad = None
+        for lo in range(0, n_frames, 1024):
+            hi = lo + 1024
+            lens_ = (ends_[lo:hi] - offs[lo:hi]).astype(np.int64)
+            w = (int(lens_.max()) + 255) // 256 * 256
+            rws = np.zeros((hi - lo, w), np.uint8)
+            for i, (o, e) in enumerate(zip(offs[lo:hi], ends_[lo:hi])):
+                rws[i, : e - o] = arr_[o:e]
+            _, err_, crc_ = _decode_rows_device(rws, lens_, n, 2, 16, True)
+            flag = err_ | ~crc_
+            bad = flag if bad is None else (bad | flag)
+        assert not bool(bad)            # the single scalar sync
+        return time.time() - t0
+
+    e2e_decode(long_stream)             # warm (compile + caches)
+    te2e = min(e2e_decode(long_stream) for _ in range(3))
+    e2e_sps = n * n_frames * 2 / te2e
+
     # -- steady-state throughput: K full encode batches per dispatch via
     # lax.fori_loop (each iteration perturbs the PCM and advances the
     # frame indices; a checksum reduction keeps every batch live).  The
@@ -179,6 +224,19 @@ def main() -> None:
             return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
         return jax.jit(fn)
 
+    # -- roofline context (VERDICT round-2 #7): XLA's own bytes-accessed
+    # estimate for the compiled encode program vs v5e HBM peak, so perf
+    # rounds can tell recoverable overhead from bandwidth-bound reality
+    HBM_PEAK_BYTES_PER_S = 819e9                      # TPU v5e
+    try:
+        ca = (enc._fn.lower(planar, jnp.int64(0)).compile()
+              .cost_analysis())
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        hbm_bytes = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        hbm_bytes = 0.0
+
     f_small, f_big = many(2), many(10)
     int(f_small(planar, jnp.int64(10)))      # warm
     int(f_big(planar, jnp.int64(20)))
@@ -195,6 +253,59 @@ def main() -> None:
         dt = d if dt is None else min(dt, d)
     samples_per_sec = b * n * 2 / dt
 
+    # -- hi-res tracked entry (VERDICT round-2 #8, BASELINE configs[2]):
+    # 24-bit/96 kHz stereo, LPC order ≤ 32, block 16384, the FULL
+    # partition range 0..15 (0..14 legal at 16384) — exercises the i64
+    # MAC, escape and k-chunked-search paths under steady state.
+    nh, bh = 16384, 128
+    cfg_h = EncoderConfig(block_size=nh, max_lpc_order=32, bps=24,
+                          sample_rate=96000,
+                          partition_orders=tuple(range(16)))
+    enc_h = BatchEncoder(cfg_h, batch_frames=bh)
+    pcm_h = np.clip(synth_pcm(rng, nh * bh).astype(np.float64)
+                    * (1 << 8), -(1 << 23), (1 << 23) - 1).astype(np.int32)
+    planar_h = jnp.asarray(
+        pcm_h.reshape(bh, nh, 2).transpose(0, 2, 1).astype(np.int32))
+    res_h = enc_h.encode_batch_device(np.asarray(planar_h), 0)
+    lens_h = np.asarray(res_h["length"])
+    data_h = np.asarray(res_h["bytes"])
+    stream_h = (MAGIC
+                + serialize_metadata_header(True,
+                                            MetadataBlockType.Streaminfo, 34)
+                + serialize_streaminfo(Streaminfo(nh, nh, 0, 0, 96000, 2,
+                                                  24, nh * bh, bytes(16)))
+                + b"".join(data_h[i, : lens_h[i]].tobytes()
+                           for i in range(bh)))
+    _, got_h = decode_array(stream_h, batch_frames=bh)
+    assert np.array_equal(got_h, pcm_h), "hi-res round-trip mismatch"
+
+    def many_h(iters):
+        def fn(p, base):
+            def body(i, acc):
+                out = enc_h._fn(p + (i % 3).astype(jnp.int32),
+                                base + i.astype(jnp.int64))
+                return (acc + jnp.sum(out["length"])
+                        + jnp.sum(out["bytes"].astype(jnp.uint32))
+                        .astype(jnp.int64))
+            return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
+        return jax.jit(fn)
+
+    fh_small, fh_big = many_h(2), many_h(6)
+    int(fh_small(planar_h, jnp.int64(10)))   # warm
+    int(fh_big(planar_h, jnp.int64(20)))
+    dth = None
+    for rep in range(3):
+        t0 = time.time()
+        int(fh_small(planar_h, jnp.int64(100 + rep)))
+        th_small = time.time() - t0
+        t0 = time.time()
+        int(fh_big(planar_h, jnp.int64(200 + rep)))
+        th_big = time.time() - t0
+        dh = (th_big - th_small) / 4
+        dth = dh if dth is None else min(dth, dh)
+    hires_sps = bh * nh * 2 / dth
+    ratio_h = len(stream_h) / (pcm_h.size * 3)
+
     print(json.dumps({
         "metric": ("Encoded PCM samples/sec/chip "
                    "(16-bit stereo, LPC-12, bit-exact round-trip)"),
@@ -209,6 +320,21 @@ def main() -> None:
             "compression_ratio": round(ratio, 4),
             "decode_device_samples_per_s": round(dec_sps, 1),
             "decode_vs_reference": round(dec_sps / 143_000.0, 1),
+            "decode_e2e_samples_per_s": round(e2e_sps, 1),
+            "decode_e2e_ms": round(te2e * 1e3, 2),
+            "hbm_bytes_per_batch": round(hbm_bytes, 0),
+            "roofline_pct": round(100.0 * (hbm_bytes / dt)
+                                  / HBM_PEAK_BYTES_PER_S, 1)
+            if hbm_bytes else None,
+            "hires": {
+                "config": "24-bit/96kHz stereo, LPC<=32, block 16384, "
+                          "partition orders 0..15 (0..14 legal), "
+                          "bit-exact round-trip",
+                "encode_samples_per_s": round(hires_sps, 1),
+                "ms_per_batch": round(dth * 1e3, 2),
+                "realtime_x": round(hires_sps / (2 * 96_000.0), 1),
+                "compression_ratio": round(ratio_h, 4),
+            },
         },
     }))
 
