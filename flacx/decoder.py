@@ -212,7 +212,8 @@ _DEVICE_FNS: dict = {}
 
 def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
                       span_words: int, use_i32: bool, verify_crc: bool,
-                      sharding=None, fixed_max: int | None = None):
+                      sharding=None, fixed_max: int | None = None,
+                      state_ss: int = 0):
     """Build (and cache) the jitted rows→PCM decode pipeline.
 
     One fused XLA program: byte rows → u32 words → parallel bit-unpack
@@ -226,12 +227,17 @@ def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
     sample-serial scan — fixed predictors are finite differences, so no
     IIR is needed.
 
+    ``state_ss`` (static, > 0) enables chunk-parallel LPC reconstruction
+    from the walker's sample-state checkpoints: the scan shrinks to
+    ``state_ss`` serial steps over ``n/state_ss``× more lanes
+    (``flacx.ops.reconstruct.reconstruct_predicted_chunks``).
+
     ``sharding`` (a NamedSharding over the leading frame axis) runs the
     decode data-parallel over a device mesh — every input is per-frame,
     so the only collectives are the scalar err/crc all-reduces.
     """
     key = (n, c, bps, s, t, span_words, use_i32, verify_crc, sharding,
-           fixed_max)
+           fixed_max, state_ss)
     if key in _DEVICE_FNS:
         return _DEVICE_FNS[key]
     import jax
@@ -241,11 +247,12 @@ def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
     from flacx.ops.crcfold import crc16_over_rows
     from flacx.ops.reconstruct import (reconstruct_fixed_parallel,
                                        reconstruct_predicted,
+                                       reconstruct_predicted_chunks,
                                        undo_decorrelation)
 
     def fn(rows, lens, channel_code, kind, order, shift, wasted, po, width,
            taps, warmup, const_val, ckpt_pos, ckpt_param, ckpt_esc,
-           ckpt_inesc):
+           ckpt_inesc, ckpt_state=None):
         words = bytes_to_words(rows)
         vals, err = parse_residual_chunks(
             words, ckpt_pos, ckpt_param, ckpt_esc, ckpt_inesc, kind, order,
@@ -265,6 +272,10 @@ def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
         if fixed_max is not None:
             x = reconstruct_fixed_parallel(
                 res, order, fixed_max,
+                dtype=jnp.int32 if use_i32 else jnp.int64)
+        elif state_ss > 0:
+            x = reconstruct_predicted_chunks(
+                res, taps[:, :, :t], shift, order, ckpt_state, state_ss,
                 dtype=jnp.int32 if use_i32 else jnp.int64)
         else:
             x = reconstruct_predicted(
@@ -291,7 +302,7 @@ def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
 
     kwargs = {}
     if sharding is not None:
-        kwargs["in_shardings"] = (sharding,) * 16
+        kwargs["in_shardings"] = (sharding,) * (17 if state_ss > 0 else 16)
     _DEVICE_FNS[key] = jax.jit(fn, **kwargs)
     return _DEVICE_FNS[key]
 
@@ -307,7 +318,15 @@ def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
     from flacx.native import scan_frames
 
     f = rows.shape[0]
-    scan = scan_frames(rows, np.zeros(f, np.int64), n, c, bps)
+    # sample-state checkpoints (chunk-parallel LPC reconstruction) need
+    # sample values that fit int32; larger depths keep the serial scan
+    state_ss = 0
+    if bps + (1 if c == 2 else 0) <= 31:
+        state_ss = 512 if n >= 4096 else max(64, n // 8)
+        if n <= state_ss:
+            state_ss = 0
+    scan = scan_frames(rows, np.zeros(f, np.int64), n, c, bps,
+                       state_interval=state_ss)
     if scan is None:
         return None
 
@@ -348,16 +367,21 @@ def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
     # all-fixed batches (kinds 0/1/2: constant, verbatim, fixed — shift is
     # always 0, taps binomial) reconstruct via parallel cumsums, no scan
     fixed_max = int(max_order) if bool((scan.kind <= 2).all()) else None
+    if fixed_max is not None:
+        state_ss = 0
     fn = _device_decode_fn(n, c, bps, scan.ckpt_interval, t, span_words,
-                           use_i32, verify_crc, sharding, fixed_max)
+                           use_i32, verify_crc, sharding, fixed_max,
+                           state_ss)
     # returned WITHOUT forcing: the caller defers the err/crc sync by one
     # batch so the next batch's host structure walk overlaps this batch's
     # device compute
-    return fn(
-        rows, lens.astype(np.int32), scan.channel_code, scan.kind,
-        scan.order, scan.shift, scan.wasted, scan.po, scan.width, scan.taps,
-        scan.warmup, scan.const_val, scan.ckpt_pos, scan.ckpt_param,
-        scan.ckpt_esc, scan.ckpt_inesc)
+    args = [rows, lens.astype(np.int32), scan.channel_code, scan.kind,
+            scan.order, scan.shift, scan.wasted, scan.po, scan.width,
+            scan.taps, scan.warmup, scan.const_val, scan.ckpt_pos,
+            scan.ckpt_param, scan.ckpt_esc, scan.ckpt_inesc]
+    if state_ss > 0:
+        args.append(scan.ckpt_state)
+    return fn(*args)
 
 
 def decode_array(data: bytes, batch_frames: int = 256,

@@ -293,7 +293,17 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         w32 = jnp.asarray(tukey_window_np(n).astype(adt))
         autoc = autocorrelate(x_v.astype(adt), p, window=w32)
         taps_f, lpc_err, valid_ld = levinson_all_orders(autoc, p)
-        qcoefs, qshifts, valid_q = quantize_all_orders(taps_f, prec)
+        # Levinson-Durbin returns the ANALYSIS polynomial a[1:] (error
+        # filter e = Σ a_j·x[i-j]); the PREDICTION coefficients for
+        # x̂[i] = Σ c_j·x[i-1-j] are their negation.  The reference uses
+        # a[1:] unnegated (flac/encoder.py:374-390,479), a sign defect
+        # that makes its LPC residuals ~larger than the signal, so LPC
+        # essentially never wins its fixed-vs-LPC comparison — measured
+        # here: negation shrinks LPC-8 residual magnitudes ~200× on
+        # tonal content and beats the best fixed order ~9×.  The
+        # conformance mode (flacx/conformance.py) keeps the reference's
+        # sign for byte-compat; this production path predicts correctly.
+        qcoefs, qshifts, valid_q = quantize_all_orders(-taps_f, prec)
         lpc_valid = valid_ld & valid_q                          # [B,V,P]
     else:
         qcoefs = jnp.zeros((b, nv, 1, 1), jnp.int32)

@@ -126,8 +126,8 @@ class ScannedFrames:
 
     __slots__ = ("channel_code", "kind", "order", "shift", "wasted", "po",
                  "width", "taps", "warmup", "const_val", "ckpt_pos",
-                 "ckpt_param", "ckpt_esc", "ckpt_inesc", "end_bits",
-                 "ckpt_interval")
+                 "ckpt_param", "ckpt_esc", "ckpt_inesc", "ckpt_state",
+                 "end_bits", "ckpt_interval", "state_interval")
 
     def __init__(self, **kw):
         for k, v in kw.items():
@@ -135,14 +135,19 @@ class ScannedFrames:
 
 
 def scan_frames(data: np.ndarray, start_bits: np.ndarray, block_size: int,
-                channels: int, bps: int,
-                ckpt_interval: int = 64) -> "ScannedFrames | None":
+                channels: int, bps: int, ckpt_interval: int = 64,
+                state_interval: int = 0) -> "ScannedFrames | None":
     """Run the C++ structure walker over a batch of equal-size frames.
 
     Parses headers/taps/warmup and checkpoints the residual bit cursor
     every ``ckpt_interval`` samples; residual VALUES are decoded on the
-    device (flacx/ops/bitunpack.py).  Returns None when the native
-    library is unavailable; raises ValueError on malformed input.
+    device (flacx/ops/bitunpack.py).  With ``state_interval > 0`` the
+    walker additionally runs the integer reconstruction IIR inline and
+    emits the last-32-samples window before every ``state_interval``
+    boundary (``ckpt_state [F, C, Ks, 32]`` int32) so the device can
+    reconstruct all chunks of a batch in parallel — only valid when
+    sample values fit int32 (``bps + 1 <= 31``).  Returns None when the
+    native library is unavailable; raises ValueError on malformed input.
     """
     import ctypes
 
@@ -151,7 +156,9 @@ def scan_frames(data: np.ndarray, start_bits: np.ndarray, block_size: int,
         return None
     f = data.shape[0]
     n, c, s = block_size, channels, ckpt_interval
+    ss = state_interval
     k = (n + s - 1) // s
+    ks = (n + ss - 1) // ss if ss > 0 else 0
     data = np.ascontiguousarray(data, np.uint8)
     start = np.ascontiguousarray(start_bits, np.int64)
     out = ScannedFrames(
@@ -169,8 +176,10 @@ def scan_frames(data: np.ndarray, start_bits: np.ndarray, block_size: int,
         ckpt_param=np.zeros((f, c, k), np.int32),
         ckpt_esc=np.zeros((f, c, k), np.int32),
         ckpt_inesc=np.zeros((f, c, k), np.int32),
+        ckpt_state=(np.zeros((f, c, ks, 32), np.int32) if ss > 0 else None),
         end_bits=np.zeros(f, np.int64),
-        ckpt_interval=s)
+        ckpt_interval=s,
+        state_interval=ss)
 
     cdll.flacx_scan_frames.restype = ctypes.c_int64
     rc = cdll.flacx_scan_frames(
@@ -178,7 +187,7 @@ def scan_frames(data: np.ndarray, start_bits: np.ndarray, block_size: int,
         ctypes.c_int64(data.shape[1]),
         ctypes.c_void_p(start.ctypes.data),
         ctypes.c_int32(n), ctypes.c_int32(c), ctypes.c_int32(bps),
-        ctypes.c_int32(s),
+        ctypes.c_int32(s), ctypes.c_int32(ss),
         ctypes.c_void_p(out.channel_code.ctypes.data),
         ctypes.c_void_p(out.kind.ctypes.data),
         ctypes.c_void_p(out.order.ctypes.data),
@@ -193,6 +202,7 @@ def scan_frames(data: np.ndarray, start_bits: np.ndarray, block_size: int,
         ctypes.c_void_p(out.ckpt_param.ctypes.data),
         ctypes.c_void_p(out.ckpt_esc.ctypes.data),
         ctypes.c_void_p(out.ckpt_inesc.ctypes.data),
+        ctypes.c_void_p(out.ckpt_state.ctypes.data if ss > 0 else None),
         ctypes.c_void_p(out.end_bits.ctypes.data))
     if rc != 0:
         raise ValueError(f"frame scan error in row {int(rc) - 1}")

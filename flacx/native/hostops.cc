@@ -353,10 +353,21 @@ extern "C" {
 // K = (block_size + ckpt_interval - 1) / ckpt_interval checkpoints per
 // subframe; checkpoint j state is the cursor BEFORE any partition
 // parameter field read at sample j*ckpt_interval.
+//
+// When state_interval > 0 the walker additionally DECODES residual values
+// and runs the integer reconstruction IIR inline (same semantics as
+// flacx/ops/reconstruct.py: x[i] = r[i] + (Σ_j c_j·x[i-1-j] >> shift) for
+// i >= order, warmup verbatim below — reference flac/decoder.py:493-498),
+// emitting the last-32-samples window before every state_interval
+// boundary into ckpt_state [F, C, Ks, 32] (Ks = ceil(n/state_interval)).
+// These sample-state checkpoints let the device reconstruct all
+// state_interval-sample chunks of a batch IN PARALLEL instead of one
+// block-length serial scan.  Sample values of a valid stream fit int32
+// whenever bps + 1 <= 31; callers must not request state otherwise.
 int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
                           int64_t row_stride, const int64_t* start_bits,
                           int32_t block_size, int32_t channels, int32_t bps,
-                          int32_t ckpt_interval,
+                          int32_t ckpt_interval, int32_t state_interval,
                           int32_t* channel_code,          // [F]
                           int32_t* kind, int32_t* order,  // [F,C]
                           int32_t* shift, int32_t* wasted,
@@ -368,10 +379,13 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
                           int32_t* ckpt_param,            // [F,C,K]
                           int32_t* ckpt_esc,              // [F,C,K]
                           int32_t* ckpt_inesc,            // [F,C,K]
+                          int32_t* ckpt_state,            // [F,C,Ks,32]
                           int64_t* end_bits) {            // [F]
     const int64_t n = block_size;
     const int S = ckpt_interval;
     const int64_t K = (n + S - 1) / S;
+    const int SS = state_interval;
+    const int64_t KS = SS > 0 ? (n + SS - 1) / SS : 0;
     // Per-row body; rows are fully independent (each writes disjoint
     // output slices), so the batch walk is threaded across cores below.
     auto scan_one = [&](int64_t r) -> int64_t {
@@ -410,6 +424,7 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
             int32_t* cpar = ckpt_param + sub * K;
             int32_t* cesc = ckpt_esc + sub * K;
             int32_t* cine = ckpt_inesc + sub * K;
+            int32_t* cst = SS > 0 ? ckpt_state + sub * KS * 32 : nullptr;
 
             if (cur.read(1) != 0) return r + 1;
             uint32_t type_code = static_cast<uint32_t>(cur.read(6));
@@ -443,7 +458,7 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
                 for (int64_t m = 0; m < K; ++m) {
                     cpos[m] = 0; cpar[m] = 0; cesc[m] = 0; cine[m] = 0;
                 }
-                continue;
+                continue;                    // state stays zero (unused)
             }
             if (k == 1) {                    // verbatim: eff bits per sample
                 for (int64_t m = 0; m < K; ++m) {
@@ -484,6 +499,11 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
             int64_t param = 0, esc = 0;
             bool inesc = false;
             const int64_t bit_limit = row_stride * 8;
+            // reconstruction state (only maintained when sample-state
+            // checkpoints were requested): ring of the last 32 decoded
+            // samples, ring[j & 31] = x[j]
+            int64_t ring[32] = {0};
+            const bool want_state = cst != nullptr;
             for (int64_t j = 0; j < n; ++j) {
                 if (j % S == 0) {
                     const int64_t m = j / S;
@@ -492,23 +512,56 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
                     cesc[m] = static_cast<int32_t>(esc);
                     cine[m] = inesc ? 1 : 0;
                 }
-                if (j < o) continue;         // warmup already consumed
+                if (want_state && j % SS == 0) {
+                    // window BEFORE sample j: slot i = x[j-32+i], zeros
+                    // for j < 32 (matches the device scan's zero init)
+                    int32_t* w32 = cst + (j / SS) * 32;
+                    for (int i = 0; i < 32; ++i) {
+                        const int64_t src = j - 32 + i;
+                        w32[i] = src >= 0
+                            ? static_cast<int32_t>(ring[src & 31]) : 0;
+                    }
+                }
+                if (j < o) {                 // warmup already consumed
+                    if (want_state) ring[j & 31] = wu[j];
+                    continue;
+                }
                 if (j == o || (j % psize == 0 && j != 0)) {
                     const uint32_t pf = static_cast<uint32_t>(cur.read(wd));
                     if (pf == escape) { esc = cur.read(5); inesc = true; }
                     else { param = pf; inesc = false; }
                 }
+                int64_t val = 0;
                 if (inesc) {
-                    cur.pos += esc;
+                    if (want_state) val = cur.read_signed(
+                        static_cast<int>(esc));
+                    else cur.pos += esc;
                 } else {
                     const uint64_t wv = cur.win();
+                    int64_t q;
                     if (wv == 0) {           // long unary run (rare)
-                        const int64_t q = cur.read_unary();
+                        q = cur.read_unary();
                         if (q < 0) return r + 1;
-                        cur.pos += param;
                     } else {
-                        cur.pos += __builtin_clzll(wv) + 1 + param;
+                        q = __builtin_clzll(wv);
+                        cur.pos += q + 1;
                     }
+                    if (want_state) {
+                        const uint64_t u =
+                            (static_cast<uint64_t>(q) << param)
+                            | cur.read(static_cast<int>(param));
+                        val = static_cast<int64_t>(u >> 1)
+                              ^ -static_cast<int64_t>(u & 1);
+                    } else {
+                        cur.pos += param;
+                    }
+                }
+                if (want_state) {            // the reconstruction IIR
+                    int64_t acc = 0;
+                    for (int i = 0; i < o; ++i)
+                        acc += static_cast<int64_t>(tp[i]) * ring[(j - 1 - i)
+                                                                  & 31];
+                    ring[j & 31] = val + (acc >> shift[sub]);
                 }
                 if (cur.pos > bit_limit) return r + 1;
             }

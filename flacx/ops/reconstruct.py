@@ -65,6 +65,73 @@ def reconstruct_predicted(residual: jnp.ndarray, taps: jnp.ndarray,
     return jnp.moveaxis(xs, 0, -1)
 
 
+def reconstruct_predicted_chunks(residual: jnp.ndarray, taps: jnp.ndarray,
+                                 shift: jnp.ndarray, order: jnp.ndarray,
+                                 state: jnp.ndarray, state_interval: int,
+                                 dtype=jnp.int64,
+                                 unroll: int = 32) -> jnp.ndarray:
+    """Chunk-parallel IIR reconstruction from walker sample-state checkpoints.
+
+    The C++ structure walker (flacx/native/hostops.cc::flacx_scan_frames
+    with ``state_interval > 0``) runs the integer IIR inline during its
+    serial residual walk and emits the last-32-samples window before every
+    ``state_interval`` boundary.  Given those windows, every
+    ``state_interval``-sample chunk of the batch reconstructs
+    INDEPENDENTLY: the scan shrinks from ``n`` serial steps over ``F·C``
+    lanes to ``SS`` steps over ``F·C·Ks`` lanes — an ``n/SS``-fold cut of
+    the sample-serial critical path that :func:`reconstruct_predicted`
+    walks (the LPC analogue of :func:`reconstruct_fixed_parallel`;
+    replaces the reference's per-sample loop, flac/decoder.py:493-498).
+
+    Args:
+      residual: ``[F, C, n]`` int — warmup samples in positions
+        ``i < order``, residuals elsewhere (same contract as
+        :func:`reconstruct_predicted`).
+      taps: ``[F, C, T]`` int32 predictor taps (zero beyond order).
+      shift: ``[F, C]`` int32; order: ``[F, C]`` int32.
+      state: ``[F, C, Ks, 32]`` int32 — ``state[..., m, i]`` is sample
+        ``x[m·SS - 32 + i]`` (zero for negative indices).
+      state_interval: SS (static); need not divide ``n``.
+    Returns:
+      ``[F, C, n]`` reconstructed samples in ``dtype``.
+    """
+    f, c, n = residual.shape
+    t = taps.shape[-1]
+    ss = state_interval
+    ks = state.shape[-2]
+    n_pad = ks * ss
+    taps_w = jnp.broadcast_to(taps[..., None, ::-1].astype(dtype),
+                              (f, c, ks, t)).reshape(f * c * ks, t)
+    shift_w = jnp.broadcast_to(shift[..., None].astype(dtype),
+                               (f, c, ks)).reshape(-1)
+    order_w = jnp.broadcast_to(order[..., None], (f, c, ks)).reshape(-1)
+    # absolute sample index of each chunk's first step (for the warmup
+    # guard; only chunk 0 can contain warmup positions when SS >= 32)
+    base = jnp.broadcast_to(jnp.arange(ks, dtype=jnp.int32) * ss,
+                            (f, c, ks)).reshape(-1)
+
+    res = residual.astype(dtype)
+    if n_pad > n:
+        res = jnp.pad(res, ((0, 0), (0, 0), (0, n_pad - n)))
+    # [SS, F·C·Ks] step-major layout, matching the packer/unpacker trick:
+    # every scan step reads one perfectly tiled vector
+    res_t = jnp.moveaxis(res.reshape(f, c, ks, ss), -1, 0).reshape(ss, -1)
+
+    win0 = state[..., 32 - t:].astype(dtype).reshape(f * c * ks, t)
+
+    def step(win, xin):
+        r, i = xin
+        acc = jnp.sum(win * taps_w, axis=-1, dtype=dtype)
+        pred = jnp.right_shift(acc, shift_w)
+        x = r + jnp.where(base + i >= order_w, pred, 0)
+        win = jnp.concatenate([win[..., 1:], x[..., None]], axis=-1)
+        return win, x
+
+    _, xs = jax.lax.scan(step, win0, (res_t, jnp.arange(ss)), unroll=unroll)
+    out = jnp.moveaxis(xs.reshape(ss, f, c, ks), 0, -1).reshape(f, c, n_pad)
+    return out[..., :n]
+
+
 def reconstruct_fixed_parallel(residual: jnp.ndarray, order: jnp.ndarray,
                                max_order: int,
                                dtype=jnp.int32) -> jnp.ndarray:

@@ -547,3 +547,117 @@ def test_device_decode_fixed_only_parallel_path(rng, monkeypatch):
               + b"".join(data[i, : lens[i]].tobytes() for i in range(b)))
     _, got = dec.decode_array(stream, batch_frames=b)
     np.testing.assert_array_equal(got, pcm)
+
+
+def _encode_device_stream(pcm, block_size: int, max_lpc_order: int) -> bytes:
+    """Device-encode full blocks of ``pcm`` into a FLAC stream (the device
+    encoder picks LPC where it genuinely wins, unlike the reference-parity
+    oracle whose LPC is sign-defective — see flacx/encoder.py)."""
+    from flacx.encoder import BatchEncoder, EncoderConfig
+    from flacx.format import MAGIC, MetadataBlockType, Streaminfo
+    from flacx.oracle.encoder import (serialize_metadata_header,
+                                      serialize_streaminfo)
+
+    frames, channels = pcm.shape
+    n = block_size
+    b = frames // n
+    cfg = EncoderConfig(block_size=n, max_lpc_order=max_lpc_order)
+    enc = BatchEncoder(cfg, batch_frames=b)
+    planar = pcm.reshape(b, n, channels).transpose(0, 2, 1).astype(np.int32)
+    blobs = enc.encode_frames(planar, 0)
+    return (MAGIC
+            + serialize_metadata_header(True, MetadataBlockType.Streaminfo,
+                                        34)
+            + serialize_streaminfo(Streaminfo(n, n, 0, 0, 44100, channels,
+                                              16, frames, bytes(16)))
+            + b"".join(blobs))
+
+
+def _make_ar_pcm(rng, frames: int, channels: int, bps: int) -> np.ndarray:
+    """An AR(4) process — content where LPC genuinely beats the fixed
+    (finite-difference) predictors, so the encoder emits LPC subframes."""
+    amp = (1 << (bps - 1)) - 1
+    a = np.array([2.2, -2.15, 1.1, -0.28])   # stable resonant AR(4)
+    out = np.zeros((frames, channels))
+    for c in range(channels):
+        e = rng.standard_normal(frames) * 0.02
+        x = np.zeros(frames)
+        for i in range(frames):
+            for j, aj in enumerate(a):
+                if i - 1 - j >= 0:
+                    x[i] += aj * x[i - 1 - j]
+            x[i] += e[i]
+        x /= max(1.0, np.abs(x).max() * 1.25)
+        out[:, c] = x * amp * 0.8
+    return out.astype(np.int64).astype(np.int32)
+
+
+def test_chunk_parallel_lpc_reconstruction_matches_serial(rng):
+    """The walker's inline-IIR sample-state checkpoints plus the chunked
+    device scan must reproduce the serial scan bit-exactly on LPC content
+    (the C++ and device IIRs are two implementations of the same integer
+    recurrence, flac/decoder.py:493-498)."""
+    import flacx.native as native
+    if native.lib() is None:
+        pytest.skip("native walker unavailable")
+    import jax.numpy as jnp
+    from flacx.hostdec import parse_frames_numpy
+    from flacx.ops.reconstruct import (reconstruct_predicted,
+                                       reconstruct_predicted_chunks)
+
+    n, ss = 512, 64                       # 8 chunks per subframe
+    pcm = _make_ar_pcm(rng, n * 4, 2, 16)
+    data = _encode_device_stream(pcm, block_size=n, max_lpc_order=8)
+    si, first = parse_stream_header(data)
+    off = scan_frame_offsets(data, first)
+    arr = np.frombuffer(data, np.uint8)
+    ends = np.append(off[1:], len(data))
+    width = (int((ends - off).max()) + 3) // 4 * 4
+    rows = np.zeros((len(off), width), np.uint8)
+    for i, (o, e) in enumerate(zip(off, ends)):
+        rows[i, : e - o] = arr[o:e]
+    zero = np.zeros(len(off), np.int64)
+
+    scan = native.scan_frames(rows, zero, n, 2, 16, state_interval=ss)
+    assert scan.ckpt_state.shape == (len(off), 2, n // ss, 32)
+    ref = parse_frames_numpy(rows, zero, n, 2, 16)
+    assert (ref.kind >= 3).any()          # the stream really has LPC
+
+    res = jnp.asarray(ref.residual)       # warmup in positions < order
+    taps = jnp.asarray(ref.taps.astype(np.int32))
+    shift = jnp.asarray(ref.shift.astype(np.int32))
+    order = jnp.asarray(ref.order.astype(np.int32))
+    want = np.asarray(reconstruct_predicted(res, taps, shift, order))
+    got = np.asarray(reconstruct_predicted_chunks(
+        res, taps, shift, order, jnp.asarray(scan.ckpt_state), ss))
+    np.testing.assert_array_equal(got, want)
+    # and int32 fast path
+    got32 = np.asarray(reconstruct_predicted_chunks(
+        res, taps, shift, order, jnp.asarray(scan.ckpt_state), ss,
+        dtype=jnp.int32))
+    np.testing.assert_array_equal(got32.astype(np.int64), want)
+
+
+def test_device_decode_lpc_chunk_parallel_path(rng, monkeypatch):
+    """LPC batches must decode through the chunk-parallel reconstruction
+    (the serial scan must not be traced), bit-exactly, with the host and
+    sequential fallbacks disabled."""
+    import flacx.decoder as dec
+    import flacx.native as native
+    import flacx.ops.reconstruct as rec
+    if native.lib() is None:
+        pytest.skip("native walker unavailable")
+
+    def boom(*a, **k):
+        raise AssertionError("unexpected path used")
+
+    monkeypatch.setattr(dec, "_decode_rows", boom)
+    monkeypatch.setattr(dec, "_decode_sequential", boom)
+    monkeypatch.setattr(rec, "reconstruct_predicted", boom)
+    dec._DEVICE_FNS.clear()               # force a fresh trace
+
+    n = 512
+    pcm = _make_ar_pcm(rng, n * 5, 2, 16)
+    data = _encode_device_stream(pcm, block_size=n, max_lpc_order=8)
+    _, got = dec.decode_array(data, batch_frames=5)
+    np.testing.assert_array_equal(got, pcm)
