@@ -177,7 +177,12 @@ def main() -> None:
     long_stream = streams4[0] + b"".join(streams4[1:])
     n_frames = 4 * b
 
-    def e2e_decode(data: bytes) -> float:
+    def e2e_decode(data: bytes, staged=None) -> float:
+        """File bytes → verified PCM in HBM.  ``staged`` (rows already in
+        HBM, host mirrors in RAM) measures the ex-ingress variant: the
+        13 MB/batch row DMA rides the dev tunnel (~70 MB/s), which is not
+        production host I/O — the encode methodology excludes the same
+        link, so both numbers are reported."""
         t0 = time.time()
         _, first_ = parse_stream_header(data)
         offs, _ = _scan_frame_offsets(data, first_, block_size=n)
@@ -185,14 +190,16 @@ def main() -> None:
         arr_ = np.frombuffer(data, np.uint8)
         ends_ = np.append(offs[1:], len(data))
         bad = None
-        for lo in range(0, n_frames, 1024):
+        for k, lo in enumerate(range(0, n_frames, 1024)):
             hi = lo + 1024
             lens_ = (ends_[lo:hi] - offs[lo:hi]).astype(np.int64)
             w = (int(lens_.max()) + 255) // 256 * 256
             rws = np.zeros((hi - lo, w), np.uint8)
             for i, (o, e) in enumerate(zip(offs[lo:hi], ends_[lo:hi])):
                 rws[i, : e - o] = arr_[o:e]
-            _, err_, crc_ = _decode_rows_device(rws, lens_, n, 2, 16, True)
+            dev = staged[k] if staged is not None else None
+            _, err_, crc_ = _decode_rows_device(rws, lens_, n, 2, 16, True,
+                                                rows_dev=dev)
             flag = err_ | ~crc_
             bad = flag if bad is None else (bad | flag)
         assert not bool(bad)            # the single scalar sync
@@ -201,6 +208,24 @@ def main() -> None:
     e2e_decode(long_stream)             # warm (compile + caches)
     te2e = min(e2e_decode(long_stream) for _ in range(3))
     e2e_sps = n * n_frames * 2 / te2e
+
+    # pre-stage every batch's rows in HBM for the ex-ingress number
+    arr_l = np.frombuffer(long_stream, np.uint8)
+    _, first_l = parse_stream_header(long_stream)
+    offs_l, _ = _scan_frame_offsets(long_stream, first_l, block_size=n)
+    ends_l = np.append(offs_l[1:], len(long_stream))
+    staged = []
+    for lo in range(0, n_frames, 1024):
+        hi = lo + 1024
+        lens_l = (ends_l[lo:hi] - offs_l[lo:hi]).astype(np.int64)
+        w = (int(lens_l.max()) + 255) // 256 * 256
+        rws = np.zeros((hi - lo, w), np.uint8)
+        for i, (o, e) in enumerate(zip(offs_l[lo:hi], ends_l[lo:hi])):
+            rws[i, : e - o] = arr_l[o:e]
+        staged.append(jax.device_put(rws))
+    jax.block_until_ready(staged)
+    te2e_x = min(e2e_decode(long_stream, staged) for _ in range(3))
+    e2e_x_sps = n * n_frames * 2 / te2e_x
 
     # -- steady-state throughput: K full encode batches per dispatch via
     # lax.fori_loop (each iteration perturbs the PCM and advances the
@@ -322,6 +347,7 @@ def main() -> None:
             "decode_vs_reference": round(dec_sps / 143_000.0, 1),
             "decode_e2e_samples_per_s": round(e2e_sps, 1),
             "decode_e2e_ms": round(te2e * 1e3, 2),
+            "decode_e2e_exingress_samples_per_s": round(e2e_x_sps, 1),
             "hbm_bytes_per_batch": round(hbm_bytes, 0),
             "roofline_pct": round(100.0 * (hbm_bytes / dt)
                                   / HBM_PEAK_BYTES_PER_S, 1)

@@ -209,6 +209,13 @@ def scan_frame_offsets(data: bytes, first: int,
 #: interval, row width bucket is implicit in the traced shapes).
 _DEVICE_FNS: dict = {}
 
+#: minimum host core count for the walker's inline-IIR sample-state
+#: checkpoints (chunk-parallel LPC reconstruction) to pay for themselves:
+#: the walker threads across rows, so with enough cores the extra serial
+#: cost vanishes, while on a 1-core host it would throttle the whole
+#: pipeline for a device-side win that was never the bottleneck.
+CHUNK_STATE_MIN_CORES = 4
+
 
 def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
                       span_words: int, use_i32: bool, verify_crc: bool,
@@ -308,20 +315,40 @@ def _device_decode_fn(n: int, c: int, bps: int, s: int, t: int,
 
 
 def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
-                        bps: int, verify_crc: bool, sharding=None):
+                        bps: int, verify_crc: bool, sharding=None,
+                        rows_dev=None):
     """TPU decode path: C++ structure walk + device bit-unpack/reconstruct.
 
     Returns the device PCM array ``[F, n, c]`` (int32, still on device),
     None when unavailable or when the device parser flagged an error
     (caller falls back), and raises ValueError on malformed streams.
+    ``rows_dev`` optionally supplies the row bytes already in HBM.
     """
+    import jax
+
     from flacx.native import scan_frames
 
+    # start the rows DMA first: jax transfers are async, so the bytes
+    # stream to HBM WHILE the C++ walker runs — on production PCIe hosts
+    # this hides the walk entirely, on thin links it hides the walk
+    # under the transfer
+    if rows_dev is None:
+        try:
+            rows_dev = jax.device_put(rows, sharding)
+        except ValueError:      # sharding incompatible with this batch
+            rows_dev = rows
+
     f = rows.shape[0]
-    # sample-state checkpoints (chunk-parallel LPC reconstruction) need
-    # sample values that fit int32; larger depths keep the serial scan
+    # Sample-state checkpoints (chunk-parallel LPC reconstruction) need
+    # sample values that fit int32; larger depths keep the serial scan.
+    # The inline IIR adds ~50% to the walker's serial cost, so it only
+    # pays where host cores can absorb it (the walker threads across
+    # rows): on thin hosts the pipeline is walker-bound and the serial
+    # device scan is nowhere near the bottleneck.
+    import os as _os
     state_ss = 0
-    if bps + (1 if c == 2 else 0) <= 31:
+    if (bps + (1 if c == 2 else 0) <= 31
+            and (_os.cpu_count() or 1) >= CHUNK_STATE_MIN_CORES):
         state_ss = 512 if n >= 4096 else max(64, n // 8)
         if n <= state_ss:
             state_ss = 0
@@ -375,7 +402,7 @@ def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
     # returned WITHOUT forcing: the caller defers the err/crc sync by one
     # batch so the next batch's host structure walk overlaps this batch's
     # device compute
-    args = [rows, lens.astype(np.int32), scan.channel_code, scan.kind,
+    args = [rows_dev, lens.astype(np.int32), scan.channel_code, scan.kind,
             scan.order, scan.shift, scan.wasted, scan.po, scan.width,
             scan.taps, scan.warmup, scan.const_val, scan.ckpt_pos,
             scan.ckpt_param, scan.ckpt_esc, scan.ckpt_inesc]

@@ -15,10 +15,18 @@ def build(verbose: bool = False) -> Path:
     cxx = shutil.which("c++") or shutil.which("g++") or shutil.which("clang++")
     if cxx is None:
         raise RuntimeError("no C++ compiler found")
-    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           str(src), "-o", str(out)]
-    subprocess.run(cmd, check=True,
-                   capture_output=not verbose)
+    base = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread"]
+    # the library is always built on the machine it runs on (on-demand,
+    # see flacx/native/__init__.py), so target the local ISA; fall back
+    # to the portable build if the compiler rejects it
+    for extra in (["-march=native"], []):
+        cmd = base + extra + [str(src), "-o", str(out)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=not verbose)
+            return out
+        except subprocess.CalledProcessError:
+            if not extra:
+                raise
     return out
 
 

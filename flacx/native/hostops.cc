@@ -345,6 +345,90 @@ struct FastCursor {
     }
 };
 
+// Advance (and with WS, decode + reconstruct) `count` residual samples of
+// one Rice/escape segment — the event-free inner loop of the walker.  The
+// caller has segmented the walk so that no checkpoint, sample-state or
+// partition boundary falls strictly inside the run: no per-sample modulo
+// or boundary checks remain here.
+//
+// WS: maintain the decoded-sample history `hp` (the inline reconstruction
+// IIR, hp[i] = x[j+i]); OB: tap-count bucket — taps are zero past the true
+// order, so the fixed-trip MAC over OB entries is exact for any order
+// <= OB and lets the compiler unroll/vectorize it.
+template <bool WS, int OB>
+inline bool walk_run(FastCursor& cur, int64_t count, bool inesc,
+                     int64_t param, int64_t esc, const int32_t* tp,
+                     int32_t sh, int32_t* hp) {
+    if (inesc) {
+        if (!WS) {
+            cur.pos += esc * count;
+            return true;
+        }
+        for (int64_t i = 0; i < count; ++i) {
+            const int64_t val = cur.read_signed(static_cast<int>(esc));
+            int64_t acc = 0;
+            for (int t = 0; t < OB; ++t)
+                acc += static_cast<int64_t>(tp[t]) * hp[i - 1 - t];
+            hp[i] = static_cast<int32_t>(val + (acc >> sh));
+        }
+        return true;
+    }
+    const uint64_t vmask = (param ? ((1ull << param) - 1) : 0);
+    for (int64_t i = 0; i < count; ++i) {
+        const uint64_t w = cur.win();
+        int64_t q;
+        uint64_t u = 0;
+        if (__builtin_expect(w == 0, 0)) {   // long unary run (rare)
+            q = cur.read_unary();
+            if (q < 0) return false;
+            if (WS) u = (static_cast<uint64_t>(q) << param)
+                        | cur.read(static_cast<int>(param));
+        } else {
+            q = __builtin_clzll(w);
+            const int64_t total = q + 1 + param;
+            if (__builtin_expect(total <= 64, 1)) {
+                // quotient and value bits from the SAME window: one
+                // win() per sample instead of two
+                if (WS) u = (static_cast<uint64_t>(q) << param)
+                            | ((w >> (64 - total)) & vmask);
+                cur.pos += total;
+            } else {
+                cur.pos += q + 1;
+                if (WS) u = (static_cast<uint64_t>(q) << param)
+                            | cur.read(static_cast<int>(param));
+                else cur.pos += param;
+            }
+        }
+        if (WS) {
+            const int64_t val = static_cast<int64_t>(u >> 1)
+                                ^ -static_cast<int64_t>(u & 1);
+            int64_t acc = 0;
+            for (int t = 0; t < OB; ++t)
+                acc += static_cast<int64_t>(tp[t]) * hp[i - 1 - t];
+            hp[i] = static_cast<int32_t>(val + (acc >> sh));
+        }
+    }
+    return true;
+}
+
+// Order-bucket dispatch for the state-maintaining run.
+inline bool walk_run_ws(int ob, FastCursor& cur, int64_t count, bool inesc,
+                        int64_t param, int64_t esc, const int32_t* tp,
+                        int32_t sh, int32_t* hp) {
+    switch (ob) {
+        case 4:  return walk_run<true, 4>(cur, count, inesc, param, esc,
+                                          tp, sh, hp);
+        case 8:  return walk_run<true, 8>(cur, count, inesc, param, esc,
+                                          tp, sh, hp);
+        case 12: return walk_run<true, 12>(cur, count, inesc, param, esc,
+                                           tp, sh, hp);
+        case 16: return walk_run<true, 16>(cur, count, inesc, param, esc,
+                                           tp, sh, hp);
+        default: return walk_run<true, 32>(cur, count, inesc, param, esc,
+                                           tp, sh, hp);
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -388,7 +472,10 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
     const int64_t KS = SS > 0 ? (n + SS - 1) / SS : 0;
     // Per-row body; rows are fully independent (each writes disjoint
     // output slices), so the batch walk is threaded across cores below.
-    auto scan_one = [&](int64_t r) -> int64_t {
+    // `hist` is a per-thread scratch of 32 zeros + n int32 decoded
+    // samples (the 32-slot zero lead backs both the MAC's pre-warmup
+    // reads and the device contract that pre-stream state is zero).
+    auto scan_one = [&](int64_t r, int32_t* hist) -> int64_t {
         FastCursor cur{data + r * row_stride, row_stride, start_bits[r]};
 
         // ---- frame header (sync/CRC already validated by the scanner)
@@ -499,71 +586,66 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
             int64_t param = 0, esc = 0;
             bool inesc = false;
             const int64_t bit_limit = row_stride * 8;
-            // reconstruction state (only maintained when sample-state
-            // checkpoints were requested): ring of the last 32 decoded
-            // samples, ring[j & 31] = x[j]
-            int64_t ring[32] = {0};
             const bool want_state = cst != nullptr;
-            for (int64_t j = 0; j < n; ++j) {
-                if (j % S == 0) {
+            // smallest tap bucket covering the order (taps are zero past
+            // the true order, so the bucketed MAC is exact)
+            const int ob = o <= 4 ? 4 : o <= 8 ? 8 : o <= 12 ? 12
+                           : o <= 16 ? 16 : 32;
+            int32_t* h = hist + 32;          // 32-slot zero lead
+            if (want_state)
+                for (int i = 0; i < 32; ++i) hist[i] = 0;
+
+            // The walk is segmented at its EVENT positions — checkpoint
+            // boundaries (every S), sample-state boundaries (every SS)
+            // and partition boundaries — so the per-sample inner loop
+            // (walk_run) carries no modulo or boundary checks at all.
+            int64_t next_ckpt = 0;
+            const int64_t never = int64_t(1) << 62;
+            int64_t next_state = want_state ? 0 : never;
+            auto emit_events = [&](int64_t j) {
+                if (j == next_ckpt) {
                     const int64_t m = j / S;
                     cpos[m] = static_cast<int32_t>(cur.pos);
                     cpar[m] = static_cast<int32_t>(param);
                     cesc[m] = static_cast<int32_t>(esc);
                     cine[m] = inesc ? 1 : 0;
+                    next_ckpt += S;
                 }
-                if (want_state && j % SS == 0) {
-                    // window BEFORE sample j: slot i = x[j-32+i], zeros
-                    // for j < 32 (matches the device scan's zero init)
+                if (j == next_state) {
+                    // window BEFORE sample j: slot i = x[j-32+i] (the
+                    // zero lead supplies zeros for j < 32, matching the
+                    // device scan's zero init)
                     int32_t* w32 = cst + (j / SS) * 32;
-                    for (int i = 0; i < 32; ++i) {
-                        const int64_t src = j - 32 + i;
-                        w32[i] = src >= 0
-                            ? static_cast<int32_t>(ring[src & 31]) : 0;
-                    }
+                    for (int i = 0; i < 32; ++i) w32[i] = h[j - 32 + i];
+                    next_state += SS;
                 }
-                if (j < o) {                 // warmup already consumed
-                    if (want_state) ring[j & 31] = wu[j];
-                    continue;
+            };
+
+            for (int64_t j = 0; j < o; ++j) {  // warmup positions
+                emit_events(j);
+                if (want_state) h[j] = static_cast<int32_t>(wu[j]);
+            }
+            int64_t j = o;
+            for (int64_t p = 0; p < nparts; ++p) {
+                const int64_t limit = (p + 1) * psize;
+                emit_events(j);              // boundary state is the
+                                             // cursor BEFORE this field
+                const uint32_t pf = static_cast<uint32_t>(cur.read(wd));
+                if (pf == escape) { esc = cur.read(5); inesc = true; }
+                else { param = pf; inesc = false; }
+                while (j < limit) {
+                    int64_t run_end = limit < next_ckpt ? limit : next_ckpt;
+                    if (next_state < run_end) run_end = next_state;
+                    const bool okr = want_state
+                        ? walk_run_ws(ob, cur, run_end - j, inesc, param,
+                                      esc, tp, shift[sub], h + j)
+                        : walk_run<false, 4>(cur, run_end - j, inesc,
+                                             param, esc, nullptr, 0,
+                                             nullptr);
+                    if (!okr || cur.pos > bit_limit) return r + 1;
+                    j = run_end;
+                    if (j < limit) emit_events(j);
                 }
-                if (j == o || (j % psize == 0 && j != 0)) {
-                    const uint32_t pf = static_cast<uint32_t>(cur.read(wd));
-                    if (pf == escape) { esc = cur.read(5); inesc = true; }
-                    else { param = pf; inesc = false; }
-                }
-                int64_t val = 0;
-                if (inesc) {
-                    if (want_state) val = cur.read_signed(
-                        static_cast<int>(esc));
-                    else cur.pos += esc;
-                } else {
-                    const uint64_t wv = cur.win();
-                    int64_t q;
-                    if (wv == 0) {           // long unary run (rare)
-                        q = cur.read_unary();
-                        if (q < 0) return r + 1;
-                    } else {
-                        q = __builtin_clzll(wv);
-                        cur.pos += q + 1;
-                    }
-                    if (want_state) {
-                        const uint64_t u =
-                            (static_cast<uint64_t>(q) << param)
-                            | cur.read(static_cast<int>(param));
-                        val = static_cast<int64_t>(u >> 1)
-                              ^ -static_cast<int64_t>(u & 1);
-                    } else {
-                        cur.pos += param;
-                    }
-                }
-                if (want_state) {            // the reconstruction IIR
-                    int64_t acc = 0;
-                    for (int i = 0; i < o; ++i)
-                        acc += static_cast<int64_t>(tp[i]) * ring[(j - 1 - i)
-                                                                  & 31];
-                    ring[j & 31] = val + (acc >> shift[sub]);
-                }
-                if (cur.pos > bit_limit) return r + 1;
             }
         }
         end_bits[r] = cur.pos;
@@ -575,9 +657,11 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
         ? static_cast<int>(std::min<int64_t>(std::min<unsigned>(hw, 16),
                                              n_rows / 16))
         : 1;
+    const size_t hist_len = static_cast<size_t>(n) + 32;
     if (nt <= 1) {
+        std::vector<int32_t> hist(hist_len);
         for (int64_t r = 0; r < n_rows; ++r) {
-            const int64_t e = scan_one(r);
+            const int64_t e = scan_one(r, hist.data());
             if (e) return e;
         }
         return 0;
@@ -590,9 +674,10 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
         const int64_t hi = std::min<int64_t>(lo + chunk, n_rows);
         if (lo >= hi) break;
         threads.emplace_back([&, lo, hi]() {
+            std::vector<int32_t> hist(hist_len);
             for (int64_t r = lo; r < hi; ++r) {
                 if (first_err.load(std::memory_order_relaxed)) return;
-                const int64_t e = scan_one(r);
+                const int64_t e = scan_one(r, hist.data());
                 if (e) {
                     int64_t cur_e = first_err.load();
                     while ((cur_e == 0 || e < cur_e)

@@ -654,6 +654,9 @@ def test_device_decode_lpc_chunk_parallel_path(rng, monkeypatch):
     monkeypatch.setattr(dec, "_decode_rows", boom)
     monkeypatch.setattr(dec, "_decode_sequential", boom)
     monkeypatch.setattr(rec, "reconstruct_predicted", boom)
+    # the chunk-parallel path is gated on host core count (the inline IIR
+    # only pays when the walker threads across rows) — force it on
+    monkeypatch.setattr(dec, "CHUNK_STATE_MIN_CORES", 1)
     dec._DEVICE_FNS.clear()               # force a fresh trace
 
     n = 512
