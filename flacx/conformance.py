@@ -266,13 +266,24 @@ def reference_rice_plan(zz: jnp.ndarray, order: jnp.ndarray,
                | (jnp.asarray(np_ppos) == order[..., None]))
         start_param = jnp.where(here, sp_, start_param)
 
+    # finest-grid copy (see rice.RicePlan.k_seg)
+    nseg = 1 << max_po
+    k_seg = jnp.zeros((*lead, nseg), jnp.int8)
+    for po in porders:
+        here = (best_po == po)[..., None]
+        seg_of = jnp.asarray(
+            np.arange(nseg, dtype=np.int32) >> (max_po - po), jnp.int32)
+        k_seg = jnp.where(here, k_levels[po].astype(jnp.int8)[..., seg_of],
+                          k_seg)
+
     no_esc = jnp.zeros((*lead, n), bool)
     no_esc_p = jnp.zeros((*lead, len(ppos)), bool)
     est_out = best_est - jnp.where(best_est >= _BIAS, _BIAS, 0)
     return RicePlan(bits=est_out, porder=best_po, width=width,
                     k_sample=k_sample, param_start=param_start,
                     esc_sample=no_esc, k_param=k_param,
-                    start_param=start_param, esc_param=no_esc_p)
+                    start_param=start_param, esc_param=no_esc_p,
+                    k_seg=k_seg, esc_seg=jnp.zeros((*lead, nseg), bool))
 
 
 def encode_batch_conformance(cfg, pcm: jnp.ndarray,

@@ -46,9 +46,14 @@ def _emit_kernel(n: int, psize_min: int, slots_pad: int,
                  out_v_ref, out_l_ref):
     zz = zz_ref[...].T                          # [N, LANES] i32 (masked)
     x = x_ref[...].T                            # [N, LANES] i32
-    # widen u8 BEFORE the transpose: (4,1)-packed byte transposes are
-    # slow/fragile in Mosaic
-    kesc = kesc_ref[...].astype(jnp.int32).T    # [N, LANES]
+    # per-SEGMENT Rice parameter/escape (k | esc << 7), expanded to
+    # per-sample entirely in VMEM — partitions are unions of the finest
+    # psize_min grid, so no [B, C, N] parameter expansion ever touches
+    # HBM (it cost ~0.5 ms/batch of i8/pred passes + layout copies)
+    nseg = n // psize_min
+    kseg = kesc_ref[0, :nseg, :]                # [nseg, LANES] i32
+    kesc = jnp.broadcast_to(kseg[:, None, :], (nseg, psize_min, kseg.shape[-1])
+                            ).reshape(n, -1)    # [N, LANES]
 
     kind = meta_ref[0, 0:1, :]                  # [1, LANES] i32
     order = meta_ref[0, 1:2, :]
@@ -112,7 +117,9 @@ def emit_sample_tiles(zz: jnp.ndarray, x: jnp.ndarray, kesc: jnp.ndarray,
       zz: ``[B, C, N]`` int32 zigzag residuals, zero outside
         ``i >= order``.
       x: ``[B, C, N]`` int32 samples (verbatim source).
-      kesc: ``[B, C, N]`` uint8 — Rice parameter (5 bits) | escape << 7.
+      kesc: ``[B, C, nseg]`` int32 — per finest-grid SEGMENT
+        (``nseg = N // psize_min``): Rice parameter (5 bits) |
+        escape << 7; expanded per-sample inside the kernel.
       param_v / param_l: ``[B, C, P]`` u32 / i32 partition-parameter
         symbols (``P = 33 + N // psize_min - 1``; zero-length where
         absent).
@@ -144,7 +151,10 @@ def emit_sample_tiles(zz: jnp.ndarray, x: jnp.ndarray, kesc: jnp.ndarray,
     # block-column of the [B, C·N] view) — no HBM-side channel copies
     zz2 = zz.reshape(b, c * n)
     x2 = x.reshape(b, c * n)
-    kesc2 = kesc.reshape(b, c * n)
+    nseg8 = -(-nseg // 8) * 8
+    kesc_t = jnp.pad(kesc[:, ch].astype(jnp.int32),
+                     ((0, 0), (0, nseg8 - nseg))) \
+        .reshape(grid_b, LANES, nseg8).transpose(0, 2, 1)
     meta = jnp.stack([kind[:, ch].astype(jnp.int32),
                       order[:, ch].astype(jnp.int32),
                       bps[:, ch].astype(jnp.int32)], axis=-1)
@@ -161,7 +171,7 @@ def emit_sample_tiles(zz: jnp.ndarray, x: jnp.ndarray, kesc: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((LANES, n), lambda i: (i, i - i + ch),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, n), lambda i: (i, i - i + ch),
+            pl.BlockSpec((1, nseg8, LANES), lambda i: (i, i - i, i - i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p8, LANES), lambda i: (i, i - i, i - i),
                          memory_space=pltpu.VMEM),
@@ -185,5 +195,5 @@ def emit_sample_tiles(zz: jnp.ndarray, x: jnp.ndarray, kesc: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(zz2, x2, kesc2, pv_t, pl_t, meta_t)
+    )(zz2, x2, kesc_t, pv_t, pl_t, meta_t)
     return out_v, out_l

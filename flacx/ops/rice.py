@@ -56,6 +56,15 @@ class RicePlan(NamedTuple):
     k_param: jnp.ndarray     # [..., P]
     start_param: jnp.ndarray  # [..., P] bool
     esc_param: jnp.ndarray   # [..., P] bool
+    # Parameter/escape at FINEST-grid granularity (one value per
+    # psize_min-sample segment, nseg = 2^max_po): partitions are always
+    # unions of finest-grid segments, so this is a complete per-sample
+    # description in 1/psize_min the footprint — the kernel emitter
+    # expands it in VMEM instead of streaming [..., n] expansions
+    # through HBM (k_sample/esc_sample stay for the XLA fallback path;
+    # XLA dead-code-eliminates whichever chain a program never reads):
+    k_seg: jnp.ndarray       # [..., nseg] int8
+    esc_seg: jnp.ndarray     # [..., nseg] bool
 
 
 def zigzag(r: jnp.ndarray) -> jnp.ndarray:
@@ -257,6 +266,9 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     k_param = jnp.zeros((*lead, p_cnt), jnp.int8)
     start_param = jnp.zeros((*lead, p_cnt), bool)
     esc_param = jnp.zeros((*lead, p_cnt), bool)
+    nseg = 1 << max_po
+    k_seg = jnp.zeros((*lead, nseg), jnp.int8)
+    esc_seg = jnp.zeros((*lead, nseg), bool)
     for po in porders:
         nparts = 1 << po
         psize = n >> po
@@ -278,6 +290,13 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
         part_of = jnp.asarray(np_ppos // psize, jnp.int32)   # static
         k_param = jnp.where(here, args[..., part_of], k_param)
         esc_param = jnp.where(here, escs[..., part_of], esc_param)
+
+        # finest-grid copy: segment s of 2^max_po lies in partition
+        # s >> (max_po - po) (static index — no gathers from [..., n])
+        seg_of = jnp.asarray(
+            np.arange(nseg, dtype=np.int32) >> (max_po - po), jnp.int32)
+        k_seg = jnp.where(here, args[..., seg_of], k_seg)
+        esc_seg = jnp.where(here, escs[..., seg_of], esc_seg)
         sp = ((jnp.asarray(np_ppos % psize == 0)
                & jnp.asarray(np_ppos > 0))
               | (jnp.asarray(np_ppos) == order[..., None]))
@@ -286,4 +305,5 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     return RicePlan(bits=best_bits, porder=best_po, width=best_width,
                     k_sample=k_sample, param_start=param_start,
                     esc_sample=esc_sample, k_param=k_param,
-                    start_param=start_param, esc_param=esc_param)
+                    start_param=start_param, esc_param=esc_param,
+                    k_seg=k_seg, esc_seg=esc_seg)

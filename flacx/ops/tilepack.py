@@ -63,8 +63,11 @@ def pack_frames_tiled(hdr_values: jnp.ndarray, hdr_lengths: jnp.ndarray,
     shv, shl = emit.subframe_header_symbols(kind, order, bps, x, taps,
                                             shift, precision, plan, wasted)
     pv, plv = emit.partition_param_symbols(kind, plan, n, psize_min)
-    kesc = (plan.k_sample.astype(jnp.uint8)
-            | (plan.esc_sample.astype(jnp.uint8) << 7))
+    # per-SEGMENT parameters ([B, C, nseg] vs [B, C, N]): the kernel
+    # expands them in VMEM, and the unused per-sample k_sample /
+    # esc_sample expansion chains are dead-code-eliminated by XLA
+    kesc = (plan.k_seg.astype(jnp.int32)
+            | (plan.esc_seg.astype(jnp.int32) << 7))
 
     def hdr_tile(v, le):
         """[B, S<=TILE] symbol row → transposed tile [grid_b, TILE, LANES]."""

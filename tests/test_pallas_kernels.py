@@ -247,8 +247,14 @@ def test_emit_sample_tiles_matches_xla(rng):
     want_sv, want_sl = sample_symbols(jnp.asarray(kind), jnp.asarray(order),
                                       jnp.asarray(bps), jnp.asarray(x),
                                       jnp.asarray(zz), plan)
-    kesc = (np.asarray(plan.k_sample).astype(np.uint8)
-            | (np.asarray(plan.esc_sample).astype(np.uint8) << 7))
+    kesc = (np.asarray(plan.k_seg).astype(np.int32)
+            | (np.asarray(plan.esc_seg).astype(np.int32) << 7))
+    # the per-segment form must agree with the per-sample expansion
+    ks = np.asarray(plan.k_sample).reshape(b, c, nseg, psize_min)
+    es = np.asarray(plan.esc_sample).reshape(b, c, nseg, psize_min)
+    assert (ks == ks[..., :1]).all() and (es == es[..., :1]).all()
+    np.testing.assert_array_equal(np.asarray(plan.k_seg), ks[..., 0])
+    np.testing.assert_array_equal(np.asarray(plan.esc_seg), es[..., 0])
 
     for ch in range(c):
         got_v, got_l = emit_sample_tiles(
