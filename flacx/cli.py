@@ -251,6 +251,10 @@ def make_argument_parser() -> ArgumentParser:
     corpus.add_argument("--batch-frames", type=int, default=512, metavar="N")
     corpus.add_argument("--stereo", choices=("auto", "independent"),
                         default="auto")
+    corpus.add_argument(
+        "--resume", action="store_true",
+        help="Skip inputs already completed by a previous run into the "
+             "same outdir (file-granular checkpoint manifest).")
 
     return parser
 
@@ -266,12 +270,15 @@ def cmd_encode_corpus(args) -> None:
         max_lpc_order=args.max_lpc_order,
         qlp_precision=args.qlp_coeff_precision,
         partition_orders=tuple(args.rice_partition_order),
-        batch_frames=args.batch_frames, stereo=args.stereo)
+        batch_frames=args.batch_frames, stereo=args.stereo,
+        resume=args.resume)
     delta = timer() - time_start
     ratio = result.bytes_out / max(result.bytes_in, 1)
+    skipped = (f", {len(result.skipped)} resumed"
+               if result.skipped else "")
     print(f"Encoded {len(result.encoded)} files "
           f"({result.samples} samples) in {delta:.6g} seconds "
-          f"(ratio {ratio:.3f})")
+          f"(ratio {ratio:.3f}){skipped}")
     for path, err in result.failed.items():
         print(f"  FAILED {path}: {err}")
 

@@ -96,9 +96,16 @@ def encode_corpus_distributed(paths: Iterable[Path | str],
     ``encode_kwargs['sharding']`` if desired), then the scalar stats are
     summed over DCN.  Returns ``(local_result, global_stats)``.
     """
+    import jax
+
     from flacx.parallel.corpus import encode_corpus
 
     mine = shard_corpus(paths)
+    # one manifest shard per process: checkpoint/resume without any
+    # cross-process write coordination (resume reads the shard union)
+    encode_kwargs.setdefault(
+        "manifest_suffix",
+        f".p{jax.process_index()}" if jax.process_count() > 1 else "")
     result = encode_corpus(mine, out_dir, **encode_kwargs)
     totals = allreduce_stats({
         "files": len(result.encoded), "failed": len(result.failed),

@@ -264,3 +264,51 @@ def test_flagship_shape_4608_lpc12(rng):
     from flacx.decoder import decode_array
     _, got = decode_array(stream, batch_frames=3)
     np.testing.assert_array_equal(got, pcm[: 3 * 4608])
+
+
+def test_corpus_resume_checkpoint(rng, tmp_path):
+    """Corpus checkpoint/resume (SURVEY.md §5): a second run with
+    resume=True skips completed files, re-encodes changed inputs and
+    files whose outputs were lost, and the manifest survives all of it
+    with byte-identical outputs."""
+    from flacx.parallel.corpus import encode_corpus
+    from flacx.wavio import write_wav
+
+    wavs, pcms = [], []
+    for i in range(3):
+        pcm = make_pcm(rng, 256 * 2 + 17 * i, 2, 16, "tonal")
+        p = tmp_path / f"in{i}.wav"
+        write_wav(p, 44100, 16, pcm)
+        wavs.append(p)
+        pcms.append(pcm)
+    out = tmp_path / "out"
+    kw = dict(block_size=256, max_lpc_order=6, partition_orders=(0, 1, 2),
+              batch_frames=4)
+
+    r1 = encode_corpus(wavs, out, **kw)
+    assert len(r1.encoded) == 3 and not r1.skipped
+    blobs = {p.name: p.read_bytes() for p in r1.encoded}
+    assert (out / ".flacx_manifest.json").exists()
+
+    # full resume: nothing re-encoded
+    r2 = encode_corpus(wavs, out, resume=True, **kw)
+    assert not r2.encoded and len(r2.skipped) == 3
+    assert r2.samples == 0 and r2.bytes_out == 0
+
+    # a changed input and a deleted output must both re-encode
+    pcm_new = make_pcm(rng, 256 * 2, 2, 16, "noise")
+    write_wav(wavs[0], 44100, 16, pcm_new)
+    (out / "in1.flac").unlink()
+    r3 = encode_corpus(wavs, out, resume=True, **kw)
+    assert sorted(p.name for p in r3.encoded) == ["in0.flac", "in1.flac"]
+    assert [p.name for p in r3.skipped] == ["in2.flac"]
+    # unchanged files byte-identical, changed file decodes to new PCM
+    assert (out / "in1.flac").read_bytes() == blobs["in1.flac"]
+    assert (out / "in2.flac").read_bytes() == blobs["in2.flac"]
+    from flacx.decoder import decode_array
+    _, got = decode_array((out / "in0.flac").read_bytes(), batch_frames=4)
+    np.testing.assert_array_equal(got, pcm_new)
+
+    # without resume, everything re-encodes (manifest is overwritten)
+    r4 = encode_corpus(wavs, out, **kw)
+    assert len(r4.encoded) == 3 and not r4.skipped
