@@ -30,6 +30,15 @@ TILE = 512          # symbols per tile (= output capacity in words)
 LANES = 128         # tiles processed per kernel instance
 
 
+#: span at which `_tile_kernel` switches from the region-mask formulation
+#: to per-pair static slices: shallow levels have many regions (static
+#: slicing would trace hundreds of tiny merges) while deep levels have few
+#: pairs, where the slice formulation drops the full-tile `la`
+#: replication, `is_odd` masks and per-stage region predicates — the
+#: shift amounts become [lanes]-wide scalars per pair.
+_SLICE_SPAN = 16
+
+
 def _tile_kernel(lanes, values_ref, lengths_ref, la_ref, words_ref):
     v = values_ref[0]                          # [TILE, lanes] u32
     l = lengths_ref[0]                         # [TILE, lanes] i32
@@ -45,16 +54,47 @@ def _tile_kernel(lanes, values_ref, lengths_ref, la_ref, words_ref):
     for k in range(levels):
         span = 1 << k
         pairs = TILE >> (k + 1)
+        la_p = la_ref[0, off: off + pairs, :]  # even-string lengths
+        off += pairs
+        if span >= _SLICE_SPAN:
+            # ---- deep levels: static per-pair slices (the upper
+            # kernel's formulation).  Cyclic rolls need no wrap masks:
+            # a wrapped source row lies in [0, t), which stays zero
+            # because the applied shift obeys a + t <= w <= span; the
+            # carry roll (by 1) only contributes where r > 0, which
+            # forces a < span, keeping row 0 zero.
+            regions = []
+            for p in range(pairs):
+                r0 = 2 * p * span
+                delta = span * 32 - la_p[p]    # [lanes]
+                w = (delta >> 5)[None, :]
+                r = (delta & 31).astype(jnp.uint32)[None, :]
+                od = jnp.concatenate(
+                    [jnp.zeros((span, lanes), jnp.uint32),
+                     buf[r0 + span: r0 + 2 * span]], axis=0)
+                t = 1
+                while t <= span:
+                    rolled = pltpu.roll(od, jnp.int32(2 * span - t), axis=0)
+                    od = jnp.where((w & t) != 0, rolled, od)
+                    t <<= 1
+                nxt = pltpu.roll(od, jnp.int32(2 * span - 1), axis=0)
+                od = jnp.where(r > 0,
+                               (od << r) | (nxt >> ((32 - r) & 31)), od)
+                regions.append(jnp.concatenate(
+                    [buf[r0: r0 + span] | od[:span], od[span:]], axis=0))
+            buf = jnp.concatenate(regions, axis=0) if len(regions) > 1 \
+                else regions[0]
+            continue
+
+        # ---- shallow levels: region masks over the whole tile.
         is_odd = ((row >> k) & 1) == 1
 
         # the even (first) string's length, constant over the whole
         # region — precomputed XLA-side (tiny cumsums) and replicated to
         # region rows here, replacing the in-kernel ``bits`` tracking
         # (three full-tile rolls per level)
-        la_p = la_ref[0, off: off + pairs, :]
         la = jnp.broadcast_to(la_p[:, None, :], (pairs, 2 * span, lanes)
                               ).reshape(TILE, lanes)
-        off += pairs
         delta = span * 32 - la                 # upward shift of the odd part
         w = delta >> 5
         r = (delta & 31).astype(jnp.uint32)
