@@ -14,8 +14,11 @@ grammar is split so only the cheap part stays serial):
    IIR in parallel over the batch, followed by stereo undecorrelation and
    wasted-bits restore (``flacx.ops.reconstruct``).
 
-Frames the batch path cannot handle (the short final block, variable
-blocking strategies) fall back to the strict oracle decoder.
+Variable-blocking / mixed-block-size streams batch-decode too: frames are
+grouped by block size and each group runs the same fused device pipeline,
+scattered to cumulative sample positions (:func:`_decode_variable`).
+Frames the batch paths cannot handle (the short final block, tiny groups,
+scan rejections) fall back to the strict oracle decoder.
 """
 
 from __future__ import annotations
@@ -55,8 +58,16 @@ def parse_stream_header(data: bytes) -> tuple[Streaminfo, int]:
 _CN_EXTRA = np.array([_cn.following_bytes(b) for b in range(256)], np.int64)
 
 
+#: block size per 4-bit header code (0 = reserved, 6/7 = uncommon forms
+#: resolved from the trailing bytes; flacx.format.BLOCK_SIZE_ENCODING)
+_BS_LUT = np.array([0, 192, 576, 1152, 2304, 4608, 0, 0,
+                    256, 512, 1024, 2048, 4096, 8192, 16384, 32768],
+                   np.int64)
+
+
 def _scan_candidates(arr: np.ndarray, first: int
-                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray]:
     """Vectorized sync + header-CRC-8 candidate filter.
 
     Replaces the per-candidate Python loop (byte-serial ``crc8`` per
@@ -65,7 +76,10 @@ def _scan_candidates(arr: np.ndarray, first: int
     freeze, coded numbers via a 6-step continuation fold.  Semantics are
     identical to the scalar form (same survivors, numbers, strategies).
 
-    Returns ``(offsets, numbers, strategies)`` of surviving candidates.
+    Returns ``(offsets, numbers, strategies, block_sizes)`` of surviving
+    candidates; block sizes are decoded from each header (incl. the
+    8/16-bit uncommon forms), so variable-blocking chains need no prior
+    block-size knowledge.
     """
     from flacx.crc import crc_table
     from flacx.format import CRC8_POLYNOMIAL
@@ -74,12 +88,12 @@ def _scan_candidates(arr: np.ndarray, first: int
     # tiny final frames (e.g. all-constant silence) sit close to the end
     lim = len(arr) - 6
     if lim <= first:
-        return (np.asarray([], np.int64),) * 3
+        return (np.asarray([], np.int64),) * 4
     cand = (np.nonzero((arr[first:lim] == 0xFF)
                        & ((arr[first + 1:lim + 1] & 0xFE) == 0xF8))[0]
             + first).astype(np.int64)
     if not cand.size:
-        return (np.asarray([], np.int64),) * 3
+        return (np.asarray([], np.int64),) * 4
 
     b0 = arr[cand + 4].astype(np.int64)
     extra = _CN_EXTRA[b0]
@@ -113,55 +127,62 @@ def _scan_candidates(arr: np.ndarray, first: int
         ok &= ~act | ((cont & 0xC0) == 0x80)
         num = np.where(act, (num << 6) | (cont & 0x3F), num)
 
+    # per-candidate block size: LUT for the common codes, trailing bytes
+    # (which sit right after the coded number) for the uncommon forms
+    bsize = _BS_LUT[bs_code]
+    ok &= bs_code != 0                       # reserved code
+    pos_bs = np.minimum(cand + 5 + extra, last)
+    u8 = arr[pos_bs].astype(np.int64) + 1
+    u16 = ((arr[pos_bs].astype(np.int64) << 8)
+           | arr[np.minimum(pos_bs + 1, last)]) + 1
+    bsize = np.where(bs_code == 0b0110, u8,
+                     np.where(bs_code == 0b0111, u16, bsize))
+
     strat = arr[cand + 1].astype(np.int64) & 1
-    return cand[ok], num[ok], strat[ok]
+    return cand[ok], num[ok], strat[ok], bsize[ok]
 
 
-def _scan_frame_offsets(data: bytes, first: int,
-                        block_size: int | None = None
-                        ) -> tuple[np.ndarray, bool]:
-    """Find frame start offsets via sync + CRC-8 candidate filtering.
+def _scan_frame_chain(data: bytes, first: int
+                      ) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Find frame boundaries via sync + CRC-8 candidate filtering.
 
-    Returns ``(offsets, ambiguous)``: byte offsets of validated frame
-    headers in ascending order, and whether any boundary had to be picked
-    heuristically (a duplicated coded number that CRC-16 of the previous
-    frame span could not uniquely resolve) — callers that skip CRC
-    verification must re-enable it for such scans.
+    Returns ``(offsets, block_sizes, ambiguous)``: byte offsets of
+    validated frame headers in ascending order, each frame's block size
+    (decoded from its own header), and whether any boundary had to be
+    picked heuristically (a duplicated coded number that CRC-16 of the
+    previous frame span could not uniquely resolve) — callers that skip
+    CRC verification must re-enable it for such scans.
 
     A candidate survives only if its header parses and its CRC-8 matches
     (a ~2^-30 false-positive filter); survivors are chained by their coded
-    frame/sample numbers.  The first frame may carry any starting number
-    (a stream cut mid-file still batch-decodes).
+    frame/sample numbers: fixed blocking counts frames (+1), variable
+    blocking counts samples (+ the frame's own block size).  The first
+    frame may carry any starting number (a stream cut mid-file still
+    batch-decodes).
     """
     arr = np.frombuffer(data, np.uint8)
-    offs, nums, strats = _scan_candidates(arr, first)
+    offs, nums, strats, bss = _scan_candidates(arr, first)
+    empty = np.asarray([], np.int64)
     if not offs.size:
-        return np.asarray([], np.int64), False
+        return empty, empty, False
 
-    # chain by coded number: fixed blocking counts frames (+1), variable
-    # blocking counts samples (+block_size); start from the first
-    # candidate's own number.  RFC 9639 requires one blocking strategy
-    # per stream, so the first (genuine) frame's bit is authoritative and
-    # candidates carrying the other bit are false syncs — dropped, not a
-    # reason to abandon the scan.
+    # RFC 9639 requires one blocking strategy per stream, so the first
+    # (genuine) frame's bit is authoritative and candidates carrying the
+    # other bit are false syncs — dropped, not a reason to abandon the
+    # scan.
     strategy = int(strats[0])
-    stride = 1
-    if strategy == 1:
-        if block_size is None:
-            raise FlacFormatError("variable blocking needs block_size")
-        stride = block_size
-
     keep = strats == strategy
-    offs, nums = offs[keep], nums[keep]
+    offs, nums, bss = offs[keep], nums[keep], bss[keep]
+    step = bss if strategy == 1 else np.ones_like(bss)
 
     # fast path (the overwhelmingly common shape): every survivor is a
     # real boundary — numbers form exactly the stride chain
-    if offs.size and bool(np.all(np.diff(nums) == stride)):
-        return offs, False
+    if offs.size and bool(np.all(nums[1:] == nums[:-1] + step[:-1])):
+        return offs, bss, False
 
-    by_num: dict[int, list[int]] = {}
-    for off, num in zip(offs.tolist(), nums.tolist()):
-        by_num.setdefault(num, []).append(off)
+    by_num: dict[int, list[tuple[int, int]]] = {}
+    for off, num, bs in zip(offs.tolist(), nums.tolist(), bss.tolist()):
+        by_num.setdefault(num, []).append((off, bs))
 
     # A CRC-8-passing false sync whose junk coded number collides with a
     # real frame number becomes MORE likely with file size (~2^-30 per
@@ -172,35 +193,52 @@ def _scan_frame_offsets(data: bytes, first: int,
     # caught by the batch CRC-16 check, which falls back to the
     # sequential decoder — exactness never depends on this scan.
     chain: list[int] = []
+    chain_bs: list[int] = []
     ambiguous = False
     expected = int(nums[0])
     last_off = first - 1
     while True:
-        alts = [o for o in by_num.get(expected, []) if o > last_off]
+        alts = [ob for ob in by_num.get(expected, []) if ob[0] > last_off]
         if not alts:
             break
         if len(alts) > 1:
             if chain:
                 prev = chain[-1]
-                good = [o for o in alts
+                good = [(o, b) for o, b in alts
                         if crc16(data[prev:o - 2])
                         == int.from_bytes(data[o - 2:o], "big")]
             else:
-                good = [o for o in alts if o == first]
+                good = [(o, b) for o, b in alts if o == first]
             if len(good) != 1:
                 # no (or several) candidates close the previous frame —
                 # the pick below is a guess, not a verified boundary
                 ambiguous = True
             alts = good or alts
-        chain.append(alts[0])
-        last_off = alts[0]
-        expected += stride
-    return np.asarray(chain, np.int64), ambiguous
+        off, bs = alts[0]
+        chain.append(off)
+        chain_bs.append(bs)
+        last_off = off
+        expected += bs if strategy == 1 else 1
+    return (np.asarray(chain, np.int64), np.asarray(chain_bs, np.int64),
+            ambiguous)
+
+
+def _scan_frame_offsets(data: bytes, first: int,
+                        block_size: int | None = None
+                        ) -> tuple[np.ndarray, bool]:
+    """Offsets + ambiguity wrapper of :func:`_scan_frame_chain`.
+
+    ``block_size`` is accepted for signature compatibility but unused:
+    block sizes now come from each candidate's own header.
+    """
+    del block_size
+    offsets, _, ambiguous = _scan_frame_chain(data, first)
+    return offsets, ambiguous
 
 
 def scan_frame_offsets(data: bytes, first: int,
                        block_size: int | None = None) -> np.ndarray:
-    """Offsets-only wrapper of :func:`_scan_frame_offsets`."""
+    """Offsets-only wrapper of :func:`_scan_frame_chain`."""
     return _scan_frame_offsets(data, first, block_size)[0]
 
 
@@ -411,6 +449,100 @@ def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
     return fn(*args)
 
 
+#: smallest same-block-size frame group worth a device program in the
+#: variable-blocking decode path; smaller groups go through the oracle
+VAR_MIN_GROUP = 8
+
+
+def _decode_variable(data: bytes, streaminfo: Streaminfo, first: int,
+                     batch_frames: int, verify_crc: bool) -> np.ndarray | None:
+    """Batch decode of variable-blocking / mixed-block-size streams.
+
+    Frames are grouped by block size; each group runs through the same
+    fused device pipeline as fixed-blocking batches (the programs are
+    keyed on block size), with output scattered to each frame's sample
+    position (the cumulative block-size sum — the chain scan guarantees
+    contiguity).  Small groups and sub-64-sample blocks go through the
+    strict oracle frame decoder instead of compiling a device program.
+    Returns ``None`` when the scan cannot establish an exact frame tiling
+    or a frame fails to decode on every path (caller falls back to the
+    strict sequential decoder).
+
+    The reference decoder handles these streams one frame at a time
+    (flac/decoder.py:100-130); neither its encoder nor flacx's emits
+    them, but grammar-complete decode coverage should not cost the batch
+    path.
+    """
+    c = streaminfo.channels
+    bps = streaminfo.sample_size
+    try:
+        offsets, bsizes, ambiguous = _scan_frame_chain(data, first)
+    except FlacFormatError:
+        return None
+    if not offsets.size:
+        return None
+    if ambiguous:
+        # same safety net as the fixed path: heuristically picked
+        # boundaries must be CRC-verified even if the caller opted out
+        verify_crc = True
+    total = int(bsizes.sum())
+    if streaminfo.samples and total != streaminfo.samples:
+        return None
+    starts = np.concatenate([[0], np.cumsum(bsizes)[:-1]]).astype(np.int64)
+    ends_b = np.append(offsets[1:], len(data))
+    arr = np.frombuffer(data, np.uint8)
+    out = np.zeros((total, c), np.int64)
+
+    def oracle_frames(idx: np.ndarray) -> bool:
+        for i in idx.tolist():
+            r = BitReader(data[offsets[i]:ends_b[i]])
+            try:
+                _, planar = read_frame(r, streaminfo, verify_crc=verify_crc)
+            except (FlacFormatError, EOFError, ValueError):
+                return False
+            pcm = np.array(planar, np.int64).T
+            if pcm.shape[0] != bsizes[i]:
+                return False
+            out[starts[i]: starts[i] + bsizes[i]] = pcm
+        return True
+
+    def resolve(entry) -> bool:
+        sel, trip, bs = entry
+        if trip is not None:
+            pcm_dev, err, crc_ok = trip
+            if not bool(err) and bool(crc_ok):
+                pos = starts[sel, None] + np.arange(bs)[None, :]
+                out[pos.ravel()] = np.asarray(pcm_dev).reshape(-1, c)
+                return True
+        return oracle_frames(sel)
+
+    for bs in np.unique(bsizes).tolist():
+        idx = np.nonzero(bsizes == bs)[0]
+        if bs < 64 or idx.size < VAR_MIN_GROUP:
+            if not oracle_frames(idx):
+                return None
+            continue
+        pending = None
+        for lo in range(0, idx.size, batch_frames):
+            sel = idx[lo: lo + batch_frames]
+            lens = (ends_b[sel] - offsets[sel]).astype(np.int64)
+            width = (int(lens.max()) + 255) // 256 * 256
+            rows = np.zeros((sel.size, width), np.uint8)
+            for j, i in enumerate(sel):
+                rows[j, : lens[j]] = arr[offsets[i]: ends_b[i]]
+            try:
+                trip = _decode_rows_device(rows, lens, bs, c, bps,
+                                           verify_crc, None)
+            except ValueError:
+                trip = None
+            if pending is not None and not resolve(pending):
+                return None
+            pending = (sel, trip, bs)
+        if pending is not None and not resolve(pending):
+            return None
+    return out.astype(np.int32)
+
+
 def decode_array(data: bytes, batch_frames: int = 256,
                  verify_crc: bool = True, device: bool = True,
                  sharding=None) -> tuple[Streaminfo, np.ndarray]:
@@ -427,9 +559,17 @@ def decode_array(data: bytes, batch_frames: int = 256,
 
     # tiny blocks (oracle-encoded, see flacx.pipeline) are not worth a
     # device program: the sequential decoder beats the compile time
-    if (not device or streaminfo.min_block_size != streaminfo.max_block_size
-            or n < 64):
+    if not device or n < 64:
         return streaminfo, _decode_sequential(data, streaminfo)
+
+    # variable blocking (or any mixed-block-size stream): grouped batch
+    # decode, strict sequential decoder when it cannot
+    if streaminfo.min_block_size != streaminfo.max_block_size:
+        pcm = _decode_variable(data, streaminfo, first, batch_frames,
+                               verify_crc)
+        if pcm is None:
+            return streaminfo, _decode_sequential(data, streaminfo)
+        return streaminfo, pcm
 
     try:
         offsets, ambiguous = _scan_frame_offsets(data, first, block_size=n)

@@ -86,8 +86,46 @@ def encode_stream(sample_rate: int, sample_size: int, channels: int,
         yield encode_frame(planar, layout, index, sample_size, parameters)
 
 
+def encode_stream_variable(sample_rate: int, sample_size: int,
+                           channels: int, samples: Iterable[list[int]],
+                           parameters: EncoderParameters,
+                           block_sizes: list[int]) -> Iterator[bytes]:
+    """Encode a VARIABLE blocking-strategy stream (flacx extension).
+
+    Like :func:`encode_stream` but each frame takes its size from
+    ``block_sizes`` and carries the variable-strategy header form: the
+    coded number is the frame's first sample (36-bit form) and the
+    blocking bit is set.  Neither the reference encoder nor flacx's
+    device pipeline emits these; this exists so the grammar's decode
+    side (reference flac/decoder.py:231-257) can be exercised and
+    batch-decoded end-to-end.
+    """
+    it = iter(samples)
+    total = sum(block_sizes)
+    yield MAGIC
+    yield serialize_metadata_header(last=True,
+                                    type_=MetadataBlockType.Streaminfo,
+                                    length=34)
+    yield serialize_streaminfo(Streaminfo(
+        min_block_size=min(block_sizes), max_block_size=max(block_sizes),
+        min_frame_size=0, max_frame_size=0,
+        sample_rate=sample_rate, channels=channels,
+        sample_size=sample_size, samples=total, md5=bytes(16)))
+
+    layout = INDEPENDENT_CHANNELS[channels]
+    start = 0
+    for block_size in block_sizes:
+        rows = [next(it) for _ in range(block_size)]
+        planar = [[row[c] for row in rows] for c in range(channels)]
+        yield encode_frame(planar, layout, start, sample_size, parameters,
+                           blocking=BlockingStrategy.Variable)
+        start += block_size
+
+
 def encode_frame(planar: list[list[int]], layout: Channels, index: int,
-                 sample_size: int, parameters: EncoderParameters) -> bytes:
+                 sample_size: int, parameters: EncoderParameters,
+                 blocking: BlockingStrategy = BlockingStrategy.Fixed
+                 ) -> bytes:
     """Analyze + serialize one frame from planar per-channel samples."""
     block_size = len(planar[0])
     plans = [
@@ -97,7 +135,8 @@ def encode_frame(planar: list[list[int]], layout: Channels, index: int,
                       use_escapes=parameters.use_escapes)
         for ch in planar
     ]
-    return serialize_frame(plans, layout, index, block_size, sample_size)
+    return serialize_frame(plans, layout, index, block_size, sample_size,
+                           blocking=blocking)
 
 
 # ---------------------------------------------------------------------------
@@ -129,12 +168,15 @@ def serialize_streaminfo(si: Streaminfo) -> bytes:
 
 def serialize_frame_header(layout: Channels, index: int, block_size: int,
                            sample_rate: int | None,
-                           sample_size: int | None) -> bytes:
+                           sample_size: int | None,
+                           blocking: BlockingStrategy =
+                           BlockingStrategy.Fixed) -> bytes:
     """Frame header incl. trailing CRC-8.
 
     Parity: reference flac/encoder.py:194-234.  The reference always writes
     sample rate and size as "from streaminfo" (encoder.py:94-97); callers
-    preserve that by passing None.
+    preserve that by passing None.  Under ``BlockingStrategy.Variable``
+    (a flacx extension) ``index`` is the frame's first sample number.
     """
     bs_code, bs_extra_bits, bs_extra = encode_block_size_bits(block_size)
     sr_code, sr_extra_bits, sr_extra = encode_sample_rate_bits(sample_rate)
@@ -142,7 +184,7 @@ def serialize_frame_header(layout: Channels, index: int, block_size: int,
 
     w = BitWriter()
     w.write_uint(FRAME_SYNC_CODE, 15)
-    w.write_uint(BlockingStrategy.Fixed, 1)
+    w.write_uint(blocking, 1)
     w.write_uint(bs_code, 4)
     w.write_uint(sr_code, 4)
     w.write_uint(layout, 4)
@@ -158,7 +200,9 @@ def serialize_frame_header(layout: Channels, index: int, block_size: int,
 
 
 def serialize_frame(plans: list[SubframePlan], layout: Channels, index: int,
-                    block_size: int, sample_size: int) -> bytes:
+                    block_size: int, sample_size: int,
+                    blocking: BlockingStrategy = BlockingStrategy.Fixed
+                    ) -> bytes:
     """Serialize analyzed subframes into a complete frame with CRC-16.
 
     Parity: reference flac/encoder.py:87-165 (header, subframes, zero
@@ -166,7 +210,7 @@ def serialize_frame(plans: list[SubframePlan], layout: Channels, index: int,
     """
     w = BitWriter()
     w.write_bytes(serialize_frame_header(layout, index, block_size,
-                                         None, None))
+                                         None, None, blocking=blocking))
     decorr = layout.decorrelation_bit
     for i, plan in enumerate(plans):
         write_subframe(w, plan, sample_size + decorr[i])
