@@ -455,7 +455,8 @@ VAR_MIN_GROUP = 8
 
 
 def _decode_variable(data: bytes, streaminfo: Streaminfo, first: int,
-                     batch_frames: int, verify_crc: bool) -> np.ndarray | None:
+                     batch_frames: int, verify_crc: bool,
+                     sharding=None) -> np.ndarray | None:
     """Batch decode of variable-blocking / mixed-block-size streams.
 
     Frames are grouped by block size; each group runs through the same
@@ -530,9 +531,12 @@ def _decode_variable(data: bytes, streaminfo: Streaminfo, first: int,
             rows = np.zeros((sel.size, width), np.uint8)
             for j, i in enumerate(sel):
                 rows[j, : lens[j]] = arr[offsets[i]: ends_b[i]]
+            shard = sharding
+            if shard is not None and sel.size % shard.mesh.devices.size:
+                shard = None
             try:
                 trip = _decode_rows_device(rows, lens, bs, c, bps,
-                                           verify_crc, None)
+                                           verify_crc, shard)
             except ValueError:
                 trip = None
             if pending is not None and not resolve(pending):
@@ -566,7 +570,7 @@ def decode_array(data: bytes, batch_frames: int = 256,
     # decode, strict sequential decoder when it cannot
     if streaminfo.min_block_size != streaminfo.max_block_size:
         pcm = _decode_variable(data, streaminfo, first, batch_frames,
-                               verify_crc)
+                               verify_crc, sharding)
         if pcm is None:
             return streaminfo, _decode_sequential(data, streaminfo)
         return streaminfo, pcm

@@ -105,6 +105,14 @@ def test_variable_blocking_stream_decode():
     np.testing.assert_array_equal(got, pcm.astype(np.int32))
 
 
+def test_variable_blocking_sharded_decode():
+    from flacx.parallel import data_mesh, frame_sharding
+    data, pcm, _ = _encode_variable([512] * 16 + [256] * 16, seed=13)
+    _, got = decode_array(data, batch_frames=8,
+                          sharding=frame_sharding(data_mesh(8)))
+    np.testing.assert_array_equal(got, pcm.astype(np.int32))
+
+
 def test_variable_blocking_corrupt_falls_back_strict():
     data, pcm, offsets = _encode_variable(BLOCK_SIZES, seed=9)
     # corrupt one payload byte in a device-group frame: batch CRC-16
