@@ -454,43 +454,28 @@ def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
 VAR_MIN_GROUP = 8
 
 
-def _decode_variable(data: bytes, streaminfo: Streaminfo, first: int,
-                     batch_frames: int, verify_crc: bool,
-                     sharding=None) -> np.ndarray | None:
-    """Batch decode of variable-blocking / mixed-block-size streams.
+def _decode_var_frames(data: bytes, streaminfo: Streaminfo,
+                       offsets: np.ndarray, bsizes: np.ndarray,
+                       ends_b: np.ndarray, batch_frames: int,
+                       verify_crc: bool, sharding=None
+                       ) -> np.ndarray | None:
+    """Grouped batch decode of a chained set of variable-size frames.
 
-    Frames are grouped by block size; each group runs through the same
-    fused device pipeline as fixed-blocking batches (the programs are
-    keyed on block size), with output scattered to each frame's sample
-    position (the cumulative block-size sum — the chain scan guarantees
-    contiguity).  Small groups and sub-64-sample blocks go through the
-    strict oracle frame decoder instead of compiling a device program.
-    Returns ``None`` when the scan cannot establish an exact frame tiling
-    or a frame fails to decode on every path (caller falls back to the
-    strict sequential decoder).
-
-    The reference decoder handles these streams one frame at a time
-    (flac/decoder.py:100-130); neither its encoder nor flacx's emits
-    them, but grammar-complete decode coverage should not cost the batch
-    path.
+    ``offsets``/``ends_b`` delimit each frame's bytes in ``data`` and
+    ``bsizes`` carries each frame's block size (all from
+    :func:`_scan_frame_chain`).  Frames are grouped by block size; each
+    group runs through the same fused device pipeline as fixed-blocking
+    batches (the programs are keyed on block size), with output scattered
+    to each frame's sample position (the cumulative block-size sum — the
+    chain scan guarantees contiguity).  Small groups and sub-64-sample
+    blocks go through the strict oracle frame decoder instead of
+    compiling a device program.  Returns int64 PCM ``[sum(bsizes), c]``
+    or ``None`` when a frame fails to decode on every path.
     """
     c = streaminfo.channels
     bps = streaminfo.sample_size
-    try:
-        offsets, bsizes, ambiguous = _scan_frame_chain(data, first)
-    except FlacFormatError:
-        return None
-    if not offsets.size:
-        return None
-    if ambiguous:
-        # same safety net as the fixed path: heuristically picked
-        # boundaries must be CRC-verified even if the caller opted out
-        verify_crc = True
     total = int(bsizes.sum())
-    if streaminfo.samples and total != streaminfo.samples:
-        return None
     starts = np.concatenate([[0], np.cumsum(bsizes)[:-1]]).astype(np.int64)
-    ends_b = np.append(offsets[1:], len(data))
     arr = np.frombuffer(data, np.uint8)
     out = np.zeros((total, c), np.int64)
 
@@ -544,7 +529,41 @@ def _decode_variable(data: bytes, streaminfo: Streaminfo, first: int,
             pending = (sel, trip, bs)
         if pending is not None and not resolve(pending):
             return None
-    return out.astype(np.int32)
+    return out
+
+
+def _decode_variable(data: bytes, streaminfo: Streaminfo, first: int,
+                     batch_frames: int, verify_crc: bool,
+                     sharding=None) -> np.ndarray | None:
+    """Batch decode of a whole variable-blocking / mixed-block-size stream.
+
+    Scans the frame chain, then decodes via :func:`_decode_var_frames`.
+    Returns ``None`` when the scan cannot establish an exact frame tiling
+    or a frame fails to decode on every path (caller falls back to the
+    strict sequential decoder).
+
+    The reference decoder handles these streams one frame at a time
+    (flac/decoder.py:100-130); neither its encoder nor flacx's emits
+    them, but grammar-complete decode coverage should not cost the batch
+    path.
+    """
+    try:
+        offsets, bsizes, ambiguous = _scan_frame_chain(data, first)
+    except FlacFormatError:
+        return None
+    if not offsets.size:
+        return None
+    if ambiguous:
+        # same safety net as the fixed path: heuristically picked
+        # boundaries must be CRC-verified even if the caller opted out
+        verify_crc = True
+    total = int(bsizes.sum())
+    if streaminfo.samples and total != streaminfo.samples:
+        return None
+    ends_b = np.append(offsets[1:], len(data))
+    out = _decode_var_frames(data, streaminfo, offsets, bsizes, ends_b,
+                             batch_frames, verify_crc, sharding)
+    return None if out is None else out.astype(np.int32)
 
 
 def decode_array(data: bytes, batch_frames: int = 256,
@@ -823,6 +842,22 @@ def decode_stream(f, batch_frames: int = 256, verify_crc: bool = True,
             outs.append(np.array(planar, np.int64).T)
         return outs, pos
 
+    def drain_tail(window: bytes, pos: int):
+        """Strictly decode every frame from ``pos`` to the stream end.
+
+        Normally one (possibly short) final frame, but a mid-window chain
+        break can leave several frames past the last scanned offset.
+        """
+        tr = BitReader(window[pos:])
+        while not tr.at_eof():
+            try:
+                _, planar = read_frame(tr, streaminfo,
+                                       verify_crc=verify_crc)
+            except EOFError:
+                raise FlacFormatError(
+                    "truncated stream (incomplete final frame)") from None
+            yield np.array(planar, np.int64).T.astype(np.int32)
+
     def gen():
         buf = bytearray(head[first:])
         eof = False
@@ -837,6 +872,30 @@ def decode_stream(f, batch_frames: int = 256, verify_crc: bool = True,
             if not buf:
                 return
             window = bytes(buf)
+
+            # variable-blocking windows: grouped batch decode of every
+            # boundary-delimited frame (the same device pipeline as
+            # decode_array's _decode_variable), sequential fallback below
+            if device and not fixed_blocking:
+                try:
+                    voffs, vbs, vamb = _scan_frame_chain(window, 0)
+                except FlacFormatError:
+                    voffs = np.asarray([], np.int64)
+                # the window starts at a known frame boundary; a scan
+                # that does not see it cannot be trusted
+                if voffs.size > 1 and int(voffs[0]) == 0:
+                    pcm = _decode_var_frames(
+                        window, streaminfo, voffs[:-1], vbs[:-1],
+                        voffs[1:], batch_frames, verify_crc or vamb,
+                        sharding)
+                    if pcm is not None:
+                        yield pcm.astype(np.int32)
+                        if eof:
+                            yield from drain_tail(window, int(voffs[-1]))
+                            return
+                        del buf[: int(voffs[-1])]
+                        target = readahead
+                        continue
 
             offsets = np.asarray([], np.int64)
             wdec = bdec
@@ -886,20 +945,7 @@ def decode_stream(f, batch_frames: int = 256, verify_crc: bool = True,
                 if not failed:
                     yield from results
                     if eof:
-                        # drain the tail strictly: normally one (possibly
-                        # short) final frame, but a mid-window chain break
-                        # can leave several frames past the last offset
-                        tr = BitReader(window[int(offsets[-1]):])
-                        while not tr.at_eof():
-                            try:
-                                _, planar = read_frame(
-                                    tr, streaminfo, verify_crc=verify_crc)
-                            except EOFError:
-                                raise FlacFormatError(
-                                    "truncated stream (incomplete final "
-                                    "frame)") from None
-                            yield (np.array(planar, np.int64).T
-                                   .astype(np.int32))
+                        yield from drain_tail(window, int(offsets[-1]))
                         return
                     consumed = int(offsets[-1])
                     if consumed == 0:

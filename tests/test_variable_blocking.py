@@ -105,6 +105,33 @@ def test_variable_blocking_stream_decode():
     np.testing.assert_array_equal(got, pcm.astype(np.int32))
 
 
+def test_variable_blocking_stream_uses_batch_path(monkeypatch):
+    # all-device-sized groups: the streaming decoder must take the grouped
+    # batch path, leaving exactly one strict frame read (the EOF tail)
+    data, pcm, _ = _encode_variable([512] * 16 + [256] * 16, seed=17)
+    calls = []
+    real = dec.read_frame
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(dec, "read_frame", counting)
+    _, chunks = decode_stream(io.BytesIO(data))
+    got = np.concatenate(list(chunks), axis=0)
+    np.testing.assert_array_equal(got, pcm.astype(np.int32))
+    assert len(calls) == 1
+
+
+def test_variable_blocking_stream_small_windows():
+    # a readahead far below the file size forces many refill windows, each
+    # starting at the previous window's last scanned boundary
+    data, pcm, _ = _encode_variable(BLOCK_SIZES, seed=19)
+    _, chunks = decode_stream(io.BytesIO(data), readahead=4 << 10)
+    got = np.concatenate(list(chunks), axis=0)
+    np.testing.assert_array_equal(got, pcm.astype(np.int32))
+
+
 def test_variable_blocking_sharded_decode():
     from flacx.parallel import data_mesh, frame_sharding
     data, pcm, _ = _encode_variable([512] * 16 + [256] * 16, seed=13)
