@@ -249,9 +249,16 @@ def main() -> None:
             return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
         return jax.jit(fn)
 
-    # -- roofline context (VERDICT round-2 #7): XLA's own bytes-accessed
-    # estimate for the compiled encode program vs v5e HBM peak, so perf
-    # rounds can tell recoverable overhead from bandwidth-bound reality
+    # -- roofline context (VERDICT round-2 #7).  Two bytes models:
+    # (a) XLA's post-fusion per-op "bytes accessed" for the compiled encode
+    #     program — an UPPER bound on HBM traffic (operands read by several
+    #     ops are counted once per op, and VMEM-resident buffers still
+    #     count), so the derived rate can exceed physical peak;
+    # (b) the speed-of-light floor: PCM in + packed frame bytes out — the
+    #     irreducible traffic of the problem itself.  roofline_sol_pct =
+    #     SOL time / measured time tells rounds 4+ how far the pipeline is
+    #     from pure-data-movement; xla_traffic_ratio = (a)/(b) tells how
+    #     much intermediate traffic the program still requests.
     HBM_PEAK_BYTES_PER_S = 819e9                      # TPU v5e
     try:
         ca = (enc._fn.lower(planar, jnp.int64(0)).compile()
@@ -261,6 +268,7 @@ def main() -> None:
         hbm_bytes = float(ca.get("bytes accessed", 0.0))
     except Exception:
         hbm_bytes = 0.0
+    sol_bytes = float(planar.size * 4 + int(lens.sum()))
 
     f_small, f_big = many(2), many(10)
     int(f_small(planar, jnp.int64(10)))      # warm
@@ -349,8 +357,18 @@ def main() -> None:
             "decode_e2e_ms": round(te2e * 1e3, 2),
             "decode_e2e_exingress_samples_per_s": round(e2e_x_sps, 1),
             "hbm_bytes_per_batch": round(hbm_bytes, 0),
-            "roofline_pct": round(100.0 * (hbm_bytes / dt)
-                                  / HBM_PEAK_BYTES_PER_S, 1)
+            "sol_hbm_bytes_per_batch": round(sol_bytes, 0),
+            # % of HBM peak consumed by the problem's irreducible traffic
+            # (PCM in + frames out) at the measured rate; low % = the
+            # remaining time is compute/intermediates, not bandwidth
+            "roofline_pct": round(100.0 * (sol_bytes / dt)
+                                  / HBM_PEAK_BYTES_PER_S, 1),
+            # measured time as a multiple of the speed-of-light
+            # data-movement time (PCM in + frames out at HBM peak)
+            "sol_time_x": round(dt / (sol_bytes / HBM_PEAK_BYTES_PER_S), 1),
+            # XLA-requested traffic per SOL byte (upper bound; per-op
+            # double counting means the implied rate can exceed peak)
+            "xla_traffic_ratio": round(hbm_bytes / sol_bytes, 1)
             if hbm_bytes else None,
             "hires": {
                 "config": "24-bit/96kHz stereo, LPC<=32, block 16384, "
