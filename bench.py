@@ -71,13 +71,15 @@ def main() -> None:
     lens = np.asarray(result["length"])
     data = np.asarray(result["bytes"])
 
-    def make_stream(k):
+    def make_stream(k, rows=None, rlens=None):
+        rows = data if rows is None else rows
+        rlens = lens if rlens is None else rlens
         return (MAGIC
                 + serialize_metadata_header(True,
                                             MetadataBlockType.Streaminfo, 34)
                 + serialize_streaminfo(Streaminfo(n, n, 0, 0, 44100, 2, 16,
                                                   n * k, bytes(16)))
-                + b"".join(data[i, : lens[i]].tobytes() for i in range(k)))
+                + b"".join(rows[i, : rlens[i]].tobytes() for i in range(k)))
 
     stream = make_stream(b)
     _, got = decode_array(stream, batch_frames=256)
@@ -87,75 +89,105 @@ def main() -> None:
     assert np.array_equal(got16, pcm[: 16 * n]), "oracle round-trip mismatch"
     ratio = len(stream) / pcm.nbytes * 2  # int32 holds 16-bit samples
 
-    # -- device decode throughput (rows in HBM → verified PCM in HBM)
+    # -- device decode throughput (rows in HBM → verified PCM in HBM).
+    # Two tracked signals (VERDICT r3 item 3):
+    #   decode_device_fixed — an all-fixed-predictor stream (the r2-class
+    #     shape: reconstruction = parallel nested cumsums, no serial scan);
+    #   decode_device_mixed — the headline LPC-12 stream, decoded with the
+    #     walker's sample-state checkpoints (chunk-parallel LPC
+    #     reconstruction, the production multi-core-host program).
     from flacx.decoder import (_device_decode_fn, parse_stream_header,
                                scan_frame_offsets)
-    from flacx.native import scan_frames
+    from flacx.native import scan_frames, scatter_rows
 
-    si, first = parse_stream_header(stream)
-    offsets = scan_frame_offsets(stream, first, block_size=n)
-    arr = np.frombuffer(stream, np.uint8)
-    ends = np.append(offsets[1:], len(stream))
-    dlens = (ends - offsets).astype(np.int64)
-    width = (int(dlens.max()) + 255) // 256 * 256
-    rows8 = np.zeros((b, width), np.uint8)
-    for i, (o, e) in enumerate(zip(offsets, ends)):
-        rows8[i, : e - o] = arr[o:e]
-    scan = scan_frames(rows8, np.zeros(b, np.int64), n, 2, 16)
-    t_bucket = next(x for x in (4, 8, 12, 16, 32)
-                    if x >= max(4, int(scan.order.max())))
-    use_i32 = 17 + max(int(np.abs(scan.taps).sum(-1).max()),
-                       1).bit_length() + 2 <= 31
-    span = 64 + int(np.diff(scan.ckpt_pos, axis=-1).max())
-    sw = next(x for x in (8, 12, 16, 24, 32, 48, 64, 96, 128)
-              if x >= span // 32 + 4)
-    fixed_max = (int(scan.order.max())
-                 if bool((scan.kind <= 2).all()) else None)
-    dfn = _device_decode_fn(n, 2, 16, scan.ckpt_interval, t_bucket, sw,
-                            use_i32, True, fixed_max=fixed_max)
-    dargs = jax.device_put(
-        (rows8, dlens.astype(np.int32), scan.channel_code, scan.kind,
-         scan.order, scan.shift, scan.wasted, scan.po, scan.width,
-         scan.taps, scan.warmup, scan.const_val, scan.ckpt_pos,
-         scan.ckpt_param, scan.ckpt_esc, scan.ckpt_inesc))
-    out = dfn(*dargs)
-    jax.block_until_ready(out)                       # compile + warm
-    pcm_dev, derr, dcrc = out
-    assert not bool(derr) and bool(dcrc), "device decode error/CRC fail"
+    def stage_rows(data: bytes, block: int, frames: int):
+        _, first_ = parse_stream_header(data)
+        offsets = scan_frame_offsets(data, first_, block_size=block)
+        assert len(offsets) == frames
+        arr_ = np.frombuffer(data, np.uint8)
+        ends_ = np.append(offsets[1:], len(data))
+        dlens = (ends_ - offsets).astype(np.int64)
+        width = (int(dlens.max()) + 255) // 256 * 256
+        return scatter_rows(arr_, offsets, ends_, width), dlens
 
-    # Same slope methodology as encode below: K decode batches per dispatch
-    # via lax.fori_loop.  A runtime-zero, accumulator-dependent perturbation
-    # of `wasted` keeps the decoded PCM identical while defeating
-    # loop-invariant code motion; the PCM checksum keeps every batch live.
-    def dec_many(iters):
-        def f(*args):
-            (rows, lens_, cc, kind, order, shift, wasted, po, width_, taps,
-             warm, cval, cpos, cparam, cesc, cinesc) = args
+    def time_device_decode(data: bytes, state_ss: int = 0) -> float:
+        """Samples/s of the fused rows→PCM program (slope method)."""
+        rows8, dlens = stage_rows(data, n, b)
+        scan = scan_frames(rows8, np.zeros(b, np.int64), n, 2, 16,
+                           state_interval=state_ss)
+        t_bucket = next(x for x in (4, 8, 12, 16, 32)
+                        if x >= max(4, int(scan.order.max())))
+        use_i32 = 17 + max(int(np.abs(scan.taps).sum(-1).max()),
+                           1).bit_length() + 2 <= 31
+        span = 64 + int(np.diff(scan.ckpt_pos, axis=-1).max())
+        sw = next(x for x in (8, 12, 16, 24, 32, 48, 64, 96, 128)
+                  if x >= span // 32 + 4)
+        fixed_max = (int(scan.order.max())
+                     if bool((scan.kind <= 2).all()) else None)
+        eff_ss = 0 if fixed_max is not None else state_ss
+        dfn = _device_decode_fn(n, 2, 16, scan.ckpt_interval, t_bucket, sw,
+                                use_i32, True, fixed_max=fixed_max,
+                                state_ss=eff_ss)
+        host_args = [rows8, dlens.astype(np.int32), scan.channel_code,
+                     scan.kind, scan.order, scan.shift, scan.wasted,
+                     scan.po, scan.width, scan.taps, scan.warmup,
+                     scan.const_val, scan.ckpt_pos, scan.ckpt_param,
+                     scan.ckpt_esc, scan.ckpt_inesc]
+        if eff_ss > 0:
+            host_args.append(scan.ckpt_state)
+        dargs = jax.device_put(tuple(host_args))
+        out = dfn(*dargs)
+        jax.block_until_ready(out)                   # compile + warm
+        pcm_dev, derr, dcrc = out
+        assert not bool(derr) and bool(dcrc), "device decode error/CRC fail"
 
-            def body(i, acc):
-                z = jnp.where(acc == jnp.int64(-1), 1, 0).astype(wasted.dtype)
-                p, e, ok = dfn(rows, lens_, cc, kind, order, shift,
-                               wasted + z, po, width_, taps, warm, cval,
-                               cpos, cparam, cesc, cinesc)
-                # consume the CRC verdict too — otherwise XLA dead-code-
-                # eliminates the device CRC-16 verification from the loop
-                return (acc + jnp.sum(p, dtype=jnp.int64)
-                        + e.astype(jnp.int64) + ok.astype(jnp.int64))
+        # Same slope methodology as encode below: K decode batches per
+        # dispatch via lax.fori_loop.  A runtime-zero, accumulator-
+        # dependent perturbation of `wasted` keeps the decoded PCM
+        # identical while defeating loop-invariant code motion; the PCM
+        # checksum keeps every batch live.
+        def dec_many(iters):
+            def f(*args):
+                wasted = args[6]
 
-            return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
+                def body(i, acc):
+                    z = jnp.where(acc == jnp.int64(-1),
+                                  1, 0).astype(wasted.dtype)
+                    p, e, ok = dfn(*args[:6], wasted + z, *args[7:])
+                    # consume the CRC verdict too — otherwise XLA dead-
+                    # code-eliminates the device CRC-16 verification
+                    return (acc + jnp.sum(p, dtype=jnp.int64)
+                            + e.astype(jnp.int64) + ok.astype(jnp.int64))
 
-        return jax.jit(f)
+                return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
 
-    d_small, d_big = dec_many(2), dec_many(10)
-    int(d_small(*dargs))                             # warm
-    int(d_big(*dargs))
-    t0 = time.time()
-    int(d_small(*dargs))
-    td_small = time.time() - t0
-    t0 = time.time()
-    int(d_big(*dargs))
-    td_big = time.time() - t0
-    dec_sps = n * b * 2 / ((td_big - td_small) / 8)
+            return jax.jit(f)
+
+        d_small, d_big = dec_many(2), dec_many(10)
+        int(d_small(*dargs))                         # warm
+        int(d_big(*dargs))
+        dt_d = None
+        for _ in range(2):
+            t0 = time.time()
+            int(d_small(*dargs))
+            td_small = time.time() - t0
+            t0 = time.time()
+            int(d_big(*dargs))
+            td_big = time.time() - t0
+            d = (td_big - td_small) / 8
+            dt_d = d if dt_d is None else min(dt_d, d)
+        return n * b * 2 / dt_d
+
+    dec_sps = time_device_decode(stream, state_ss=512)
+
+    # the pinned all-fixed signal: same PCM, LPC disabled at encode
+    cfg_f = EncoderConfig(block_size=n, max_lpc_order=0)
+    enc_f = BatchEncoder(cfg_f, batch_frames=b)
+    res_f = enc_f.encode_batch_device(np.asarray(planar), 0)
+    lens_f = np.asarray(res_f["length"])
+    data_f = np.asarray(res_f["bytes"])
+    stream_f = make_stream(b, data_f, lens_f)
+    dec_fixed_sps = time_device_decode(stream_f)
 
     # -- END-TO-END decode: file bytes on host → CRC-verified PCM in HBM,
     # wall-clock, including the vectorized boundary scan, the C++
@@ -194,9 +226,7 @@ def main() -> None:
             hi = lo + 1024
             lens_ = (ends_[lo:hi] - offs[lo:hi]).astype(np.int64)
             w = (int(lens_.max()) + 255) // 256 * 256
-            rws = np.zeros((hi - lo, w), np.uint8)
-            for i, (o, e) in enumerate(zip(offs[lo:hi], ends_[lo:hi])):
-                rws[i, : e - o] = arr_[o:e]
+            rws = scatter_rows(arr_, offs[lo:hi], ends_[lo:hi], w)
             dev = staged[k] if staged is not None else None
             _, err_, crc_ = _decode_rows_device(rws, lens_, n, 2, 16, True,
                                                 rows_dev=dev)
@@ -219,9 +249,7 @@ def main() -> None:
         hi = lo + 1024
         lens_l = (ends_l[lo:hi] - offs_l[lo:hi]).astype(np.int64)
         w = (int(lens_l.max()) + 255) // 256 * 256
-        rws = np.zeros((hi - lo, w), np.uint8)
-        for i, (o, e) in enumerate(zip(offs_l[lo:hi], ends_l[lo:hi])):
-            rws[i, : e - o] = arr_l[o:e]
+        rws = scatter_rows(arr_l, offs_l[lo:hi], ends_l[lo:hi], w)
         staged.append(jax.device_put(rws))
     jax.block_until_ready(staged)
     te2e_x = min(e2e_decode(long_stream, staged) for _ in range(3))
@@ -254,11 +282,13 @@ def main() -> None:
     #     program — an UPPER bound on HBM traffic (operands read by several
     #     ops are counted once per op, and VMEM-resident buffers still
     #     count), so the derived rate can exceed physical peak;
-    # (b) the speed-of-light floor: PCM in + packed frame bytes out — the
-    #     irreducible traffic of the problem itself.  roofline_sol_pct =
-    #     SOL time / measured time tells rounds 4+ how far the pipeline is
-    #     from pure-data-movement; xla_traffic_ratio = (a)/(b) tells how
-    #     much intermediate traffic the program still requests.
+    # (b) the speed-of-light floor: PCM in at the TRUE sample width
+    #     (bps/8 bytes per sample — the problem's own data, not the int32
+    #     staging layout; ADVICE r3) + packed frame bytes out.
+    #     sol_time_x = measured time / SOL time tells rounds 5+ how far
+    #     the pipeline is from pure-data-movement; xla_traffic_ratio =
+    #     (a)/(b) tells how much intermediate traffic the program still
+    #     requests.
     HBM_PEAK_BYTES_PER_S = 819e9                      # TPU v5e
     try:
         ca = (enc._fn.lower(planar, jnp.int64(0)).compile()
@@ -268,7 +298,7 @@ def main() -> None:
         hbm_bytes = float(ca.get("bytes accessed", 0.0))
     except Exception:
         hbm_bytes = 0.0
-    sol_bytes = float(planar.size * 4 + int(lens.sum()))
+    sol_bytes = float(planar.size * cfg.bps // 8 + int(lens.sum()))
 
     f_small, f_big = many(2), many(10)
     int(f_small(planar, jnp.int64(10)))      # warm
@@ -285,6 +315,51 @@ def main() -> None:
         d = (t_big - t_small) / 8
         dt = d if dt is None else min(dt, d)
     samples_per_sec = b * n * 2 / dt
+
+    # -- END-TO-END encode (VERDICT r3 item 7, symmetric with decode's):
+    # interleaved PCM in host RAM → complete FLAC file bytes in host RAM
+    # through pipeline.encode_chunks_to_file (ingest, upload, device
+    # pipeline, frame fetch, host assembly, MD5, Streaminfo backpatch).
+    # The ex-ingress variant pre-stages the planar batches in HBM —
+    # excluding the host→device PCM DMA, which rides the ~70 MB/s dev
+    # tunnel here (production PCIe is ~100× that; decode's ex-ingress
+    # number excludes the same link).
+    from flacx.pipeline import encode_chunks_to_file
+
+    pcm4 = np.concatenate([pcm + k - 1 for k in range(3)] + [pcm])
+    n_frames_e = 4 * b
+
+    def e2e_encode() -> float:
+        sink = io.BytesIO()
+        t0 = time.time()
+        encode_chunks_to_file(
+            sink, (pcm4[s: s + n * b] for s in range(0, n * b * 4, n * b)),
+            sample_rate=44100, bps=16, channels=2, block_size=n,
+            max_lpc_order=12, qlp_precision=5,
+            partition_orders=(0, 1, 2, 3, 4, 5), total_samples=n * b * 4,
+            batch_frames=b)
+        return time.time() - t0
+
+    e2e_encode()                        # warm (compile + caches)
+    te2e_enc = min(e2e_encode() for _ in range(2))
+    enc_e2e_sps = n * n_frames_e * 2 / te2e_enc
+
+    planar4 = [jax.device_put(np.ascontiguousarray(
+        pcm4[s: s + n * b].reshape(b, n, 2).transpose(0, 2, 1)))
+        for s in range(0, n * b * 4, n * b)]
+    jax.block_until_ready(planar4)
+
+    def e2e_encode_exingress() -> float:
+        t0 = time.time()
+        total = 0
+        for frame in enc.encode_frame_stream(iter(planar4), 0):
+            total += len(frame)
+        assert total > 0
+        return time.time() - t0
+
+    e2e_encode_exingress()              # warm
+    te2e_enc_x = min(e2e_encode_exingress() for _ in range(2))
+    enc_e2e_x_sps = n * n_frames_e * 2 / te2e_enc_x
 
     # -- hi-res tracked entry (VERDICT round-2 #8, BASELINE configs[2]):
     # 24-bit/96 kHz stereo, LPC order ≤ 32, block 16384, the FULL
@@ -351,20 +426,29 @@ def main() -> None:
             "block_size": n,
             "realtime_x": round(samples_per_sec / 88200.0, 1),
             "compression_ratio": round(ratio, 4),
+            # decode_device_mixed: the headline LPC-12 stream through the
+            # chunk-parallel-reconstruction program (sample-state
+            # checkpoints, the multi-core-host production config);
+            # decode_device_fixed: the pinned all-fixed stream (r2-class
+            # shape, parallel-cumsum reconstruction) — VERDICT r3 item 3
             "decode_device_samples_per_s": round(dec_sps, 1),
+            "decode_device_mixed": round(dec_sps, 1),
+            "decode_device_fixed": round(dec_fixed_sps, 1),
             "decode_vs_reference": round(dec_sps / 143_000.0, 1),
             "decode_e2e_samples_per_s": round(e2e_sps, 1),
             "decode_e2e_ms": round(te2e * 1e3, 2),
             "decode_e2e_exingress_samples_per_s": round(e2e_x_sps, 1),
+            "encode_e2e_samples_per_s": round(enc_e2e_sps, 1),
+            "encode_e2e_exingress_samples_per_s": round(enc_e2e_x_sps, 1),
             "hbm_bytes_per_batch": round(hbm_bytes, 0),
             "sol_hbm_bytes_per_batch": round(sol_bytes, 0),
-            # % of HBM peak consumed by the problem's irreducible traffic
-            # (PCM in + frames out) at the measured rate; low % = the
-            # remaining time is compute/intermediates, not bandwidth
-            "roofline_pct": round(100.0 * (sol_bytes / dt)
-                                  / HBM_PEAK_BYTES_PER_S, 1),
             # measured time as a multiple of the speed-of-light
-            # data-movement time (PCM in + frames out at HBM peak)
+            # data-movement time (true-width PCM in + frames out at HBM
+            # peak).  NOTE r4: the SOL floor moved from the int32 staging
+            # width to the true sample width (ADVICE r3), which LOWERS the
+            # floor ~45% — sol_time_x is not comparable to BENCH_r03's
+            # 44.6 under the old floor (old-floor equivalent ≈ this × 0.57).
+            # The redundant roofline_pct (= 100/sol_time_x) was dropped.
             "sol_time_x": round(dt / (sol_bytes / HBM_PEAK_BYTES_PER_S), 1),
             # XLA-requested traffic per SOL byte (upper bound; per-op
             # double counting means the implied rate can exceed peak)

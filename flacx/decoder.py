@@ -80,7 +80,16 @@ def _scan_candidates(arr: np.ndarray, first: int
     candidates; block sizes are decoded from each header (incl. the
     8/16-bit uncommon forms), so variable-blocking chains need no prior
     block-size knowledge.
+
+    Runs in the C++ host runtime when available (one threaded pass,
+    ~10× the numpy lock-step walk below, which remains the fallback and
+    the semantics oracle — ``tests/test_native.py`` asserts equality).
     """
+    from flacx.native import scan_candidates as native_scan
+    nat = native_scan(arr, first)
+    if nat is not None:
+        return nat
+
     from flacx.crc import crc_table
     from flacx.format import CRC8_POLYNOMIAL
 
@@ -513,9 +522,8 @@ def _decode_var_frames(data: bytes, streaminfo: Streaminfo,
             sel = idx[lo: lo + batch_frames]
             lens = (ends_b[sel] - offsets[sel]).astype(np.int64)
             width = (int(lens.max()) + 255) // 256 * 256
-            rows = np.zeros((sel.size, width), np.uint8)
-            for j, i in enumerate(sel):
-                rows[j, : lens[j]] = arr[offsets[i]: ends_b[i]]
+            from flacx.native import scatter_rows
+            rows = scatter_rows(arr, offsets[sel], ends_b[sel], width)
             shard = sharding
             if shard is not None and sel.size % shard.mesh.devices.size:
                 shard = None
@@ -574,7 +582,20 @@ def decode_array(data: bytes, batch_frames: int = 256,
     ``sharding`` (NamedSharding over a ``frames`` mesh) runs the device
     decode data-parallel across chips; batches whose frame count does not
     divide the mesh run unsharded.
+
+    Malformed input of any shape raises :class:`FlacFormatError` — never a
+    bare ``EOFError``/assert like the reference (flac/decoder.py:36,126).
     """
+    try:
+        return _decode_array(data, batch_frames, verify_crc, device,
+                             sharding)
+    except EOFError:
+        raise FlacFormatError("truncated stream") from None
+
+
+def _decode_array(data: bytes, batch_frames: int,
+                  verify_crc: bool, device: bool,
+                  sharding) -> tuple[Streaminfo, np.ndarray]:
     streaminfo, first = parse_stream_header(data)
     n = streaminfo.max_block_size
     c = streaminfo.channels
@@ -652,9 +673,8 @@ def decode_array(data: bytes, batch_frames: int = 256,
         lens = (batch_end - batch_off).astype(np.int64)
         # row width bucketed to limit jit variants across batches
         width = (int(lens.max()) + 255) // 256 * 256
-        rows = np.zeros((hi - lo, width), np.uint8)
-        for i, (o, e) in enumerate(zip(batch_off, batch_end)):
-            rows[i, : e - o] = arr[o:e]
+        from flacx.native import scatter_rows
+        rows = scatter_rows(arr, batch_off, batch_end, width)
 
         # 1) full device path: C++ structure walk + on-device bit-unpack,
         #    reconstruction and CRC-16, dispatched ASYNC — the previous
@@ -924,10 +944,9 @@ def decode_stream(f, batch_frames: int = 256, verify_crc: bool = True,
                     hi = min(lo + batch_frames, len(full))
                     lens = (ends[lo:hi] - full[lo:hi]).astype(np.int64)
                     width = (int(lens.max()) + 255) // 256 * 256
-                    rows = np.zeros((hi - lo, width), np.uint8)
-                    for i, (o, e) in enumerate(zip(full[lo:hi],
-                                                   ends[lo:hi])):
-                        rows[i, : e - o] = arr[o:e]
+                    from flacx.native import scatter_rows
+                    rows = scatter_rows(arr, full[lo:hi], ends[lo:hi],
+                                        width)
                     entry = wdec.submit(rows, lens)
                     if pending is not None:
                         pcm = wdec.try_resolve(pending)
@@ -968,4 +987,12 @@ def decode_stream(f, batch_frames: int = 256, verify_crc: bool = True,
             if eof and not buf:
                 return
 
-    return streaminfo, gen()
+    def safe_gen():
+        # clean-error contract: malformed windows surface as
+        # FlacFormatError, never a bare EOFError from a bit reader
+        try:
+            yield from gen()
+        except EOFError:
+            raise FlacFormatError("truncated stream") from None
+
+    return streaminfo, safe_gen()

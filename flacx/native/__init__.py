@@ -46,6 +46,15 @@ def lib() -> ctypes.CDLL | None:
         cdll.flacx_pack24.restype = None
         cdll.flacx_pack24.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                       ctypes.c_void_p]
+        cdll.flacx_scatter_rows.restype = None
+        cdll.flacx_scatter_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+        cdll.flacx_scan_candidates.restype = ctypes.c_int64
+        cdll.flacx_scan_candidates.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64]
         _lib = cdll
     except OSError:
         _lib = None
@@ -119,6 +128,62 @@ def pack24(samples: np.ndarray) -> bytes:
     out = np.empty(flat.size * 3, np.uint8)
     cdll.flacx_pack24(flat.ctypes.data, flat.size, out.ctypes.data)
     return out.tobytes()
+
+
+def scatter_rows(data: np.ndarray, offs: np.ndarray, ends: np.ndarray,
+                 width: int) -> np.ndarray:
+    """``rows[i, :ends[i]-offs[i]] = data[offs[i]:ends[i]]``, zero-padded.
+
+    The decode-side inverse of :func:`assemble_frames` — stages a batch of
+    variable-length frame byte spans into the device's padded row layout
+    in one threaded native pass (numpy fallback: per-row copies).
+    """
+    offs = np.ascontiguousarray(offs, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    n_rows = offs.shape[0]
+    cdll = lib()
+    if cdll is None:
+        rows = np.zeros((n_rows, width), np.uint8)
+        for i, (o, e) in enumerate(zip(offs, ends)):
+            rows[i, : e - o] = data[o:e]
+        return rows
+    data = np.ascontiguousarray(data, np.uint8)
+    rows = np.empty((n_rows, width), np.uint8)
+    cdll.flacx_scatter_rows(data.ctypes.data, offs.ctypes.data,
+                            ends.ctypes.data, n_rows, rows.ctypes.data,
+                            width)
+    return rows
+
+
+def scan_candidates(data: np.ndarray, first: int
+                    ) -> "tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None":
+    """Native frame-boundary candidate scan (see flacx.decoder).
+
+    Returns ``(offsets, numbers, strategies, block_sizes)`` with the same
+    semantics as the vectorized numpy scan, or None when the library is
+    unavailable (caller falls back).
+    """
+    cdll = lib()
+    if cdll is None or not hasattr(cdll, "flacx_scan_candidates"):
+        return None
+    data = np.ascontiguousarray(data, np.uint8)
+    lim = data.size - 6
+    if lim <= first:
+        e = np.asarray([], np.int64)
+        return e, e, np.asarray([], np.int64), e
+    cap = int(np.count_nonzero(data[first:lim] == 0xFF))
+    if cap == 0:
+        e = np.asarray([], np.int64)
+        return e, e, np.asarray([], np.int64), e
+    offs = np.empty(cap, np.int64)
+    nums = np.empty(cap, np.int64)
+    strats = np.empty(cap, np.int32)
+    bsizes = np.empty(cap, np.int64)
+    cnt = cdll.flacx_scan_candidates(
+        data.ctypes.data, data.size, first, offs.ctypes.data,
+        nums.ctypes.data, strats.ctypes.data, bsizes.ctypes.data, cap)
+    return (offs[:cnt], nums[:cnt], strats[:cnt].astype(np.int64),
+            bsizes[:cnt])
 
 
 class ScannedFrames:

@@ -71,6 +71,117 @@ void flacx_pack24(const int32_t* samples, int64_t n, uint8_t* out) {
     }
 }
 
+// Scatter variable-length frame spans into a padded row matrix:
+// rows[i][:ends[i]-offs[i]] = data[offs[i]:ends[i]], zero-filling each
+// row's tail.  The inverse of flacx_assemble_frames; replaces the decode
+// path's per-frame Python copy loop (VERDICT r3 item 4).  Threaded across
+// rows (rows are independent).
+void flacx_scatter_rows(const uint8_t* data, const int64_t* offs,
+                        const int64_t* ends, int64_t n_rows,
+                        uint8_t* rows, int64_t row_stride) {
+    auto run = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const int64_t len = ends[i] - offs[i];
+            uint8_t* dst = rows + i * row_stride;
+            std::memcpy(dst, data + offs[i], len);
+            std::memset(dst + len, 0, row_stride - len);
+        }
+    };
+    const unsigned hw = std::thread::hardware_concurrency();
+    const int nt = (n_rows >= 64 && hw > 1)
+        ? static_cast<int>(std::min<int64_t>(std::min<unsigned>(hw, 8),
+                                             n_rows / 16))
+        : 1;
+    if (nt <= 1) { run(0, n_rows); return; }
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_rows + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min<int64_t>(lo + chunk, n_rows);
+        if (lo >= hi) break;
+        threads.emplace_back(run, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// Frame-boundary candidate scan: sync pattern + header CRC-8 filter +
+// coded-number / block-size decode, one pass over the stream.  Exactly the
+// semantics of flacx/decoder.py::_scan_candidates (the numpy fallback):
+// survivors, numbers, strategies and block sizes are identical.  Returns
+// the number of candidates written (never exceeds `cap`; callers size
+// cap = the count of 0xFF bytes, an upper bound on candidates).
+int64_t flacx_scan_candidates(const uint8_t* data, int64_t nbytes,
+                              int64_t first, int64_t* offs, int64_t* nums,
+                              int32_t* strats, int64_t* bsizes,
+                              int64_t cap) {
+    static uint8_t table8[256];
+    static bool init8 = false;
+    if (!init8) {
+        for (int b = 0; b < 256; ++b) {
+            uint32_t v = b;
+            for (int i = 0; i < 8; ++i) {
+                v <<= 1;
+                if (v & 0x100) v ^= 0x107;
+            }
+            table8[b] = static_cast<uint8_t>(v & 0xFF);
+        }
+        init8 = true;
+    }
+    static const int32_t kBsLut[16] = {0, 192, 576, 1152, 2304, 4608, 0, 0,
+                                       256, 512, 1024, 2048, 4096, 8192,
+                                       16384, 32768};
+    const int64_t lim = nbytes - 6;
+    int64_t count = 0;
+    for (int64_t i = first; i < lim && count < cap; ++i) {
+        if (data[i] != 0xFF) {
+            // skip to the next 0xFF quickly
+            const void* p = std::memchr(data + i, 0xFF, lim - i);
+            if (p == nullptr) break;
+            i = static_cast<const uint8_t*>(p) - data;
+        }
+        if ((data[i + 1] & 0xFE) != 0xF8) continue;
+        const uint32_t b0 = data[i + 4];
+        int extra = 0;                      // coded-number continuation
+        for (uint32_t m = 0x80; m && (b0 & m); m >>= 1) ++extra;
+        if (extra > 0) --extra;
+        const uint32_t code = data[i + 2];
+        const uint32_t bs_code = code >> 4;
+        const uint32_t sr_code = code & 0xF;
+        if (bs_code == 0) continue;         // reserved
+        const int64_t hdr_len = 5 + extra
+            + (bs_code == 6 ? 1 : bs_code == 7 ? 2 : 0)
+            + (sr_code == 12 ? 1 : (sr_code == 13 || sr_code == 14) ? 2 : 0);
+        if (i + hdr_len >= nbytes) continue;
+        uint8_t crc = 0;
+        for (int64_t j = 0; j < hdr_len; ++j)
+            crc = table8[data[i + j] ^ crc];
+        if (data[i + hdr_len] != crc) continue;
+        // coded-number decode with continuation validation
+        int64_t num = extra == 0
+            ? static_cast<int64_t>(b0)
+            : static_cast<int64_t>(b0 & (0xFFu >> (extra + 2)));
+        bool ok = true;
+        for (int j = 1; j <= extra; ++j) {
+            const uint32_t cont = data[i + 4 + j];
+            if ((cont & 0xC0) != 0x80) { ok = false; break; }
+            num = (num << 6) | (cont & 0x3F);
+        }
+        if (!ok) continue;
+        int64_t bsize = kBsLut[bs_code];
+        const int64_t pos_bs = i + 5 + extra;
+        if (bs_code == 6) bsize = static_cast<int64_t>(data[pos_bs]) + 1;
+        else if (bs_code == 7)
+            bsize = ((static_cast<int64_t>(data[pos_bs]) << 8)
+                     | data[pos_bs + 1]) + 1;
+        offs[count] = i;
+        nums[count] = num;
+        strats[count] = data[i + 1] & 1;
+        bsizes[count] = bsize;
+        ++count;
+    }
+    return count;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -67,8 +67,16 @@ def decode_stream(f: BinaryIO, verify_crc: bool = True,
 
 
 def read_metadata_header(r: BitReader) -> MetadataBlockHeader:
-    return MetadataBlockHeader(last=r.read_bool(),
-                               type=MetadataBlockType(r.read_uint(7)),
+    last = r.read_bool()
+    type_code = r.read_uint(7)
+    try:
+        btype = MetadataBlockType(type_code)
+    except ValueError:
+        # reserved/unknown block types (RFC 9639 §8.1 reserves 7..126;
+        # 127 is forbidden) — a clean format error, not a bare ValueError
+        raise FlacFormatError(
+            f"invalid metadata block type {type_code}") from None
+    return MetadataBlockHeader(last=last, type=btype,
                                length=r.read_uint(24))
 
 
