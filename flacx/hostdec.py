@@ -155,7 +155,8 @@ def _parse_frames_native(data, start_bits, block_size, channels, bps
         ctypes.c_void_p(wasted.ctypes.data),
         ctypes.c_void_p(taps.ctypes.data),
         ctypes.c_void_p(residual.ctypes.data),
-        ctypes.c_void_p(end_bits.ctypes.data))
+        ctypes.c_void_p(end_bits.ctypes.data),
+        ctypes.c_void_p(None))
     if rc != 0:
         raise ValueError(f"frame parse error in row {int(rc) - 1}")
     return ParsedFrames(channel_code=channel_code,
@@ -182,6 +183,12 @@ def parse_frames_numpy(data: np.ndarray, start_bits: np.ndarray,
     ch_code = r.read(4)
     ss_code = r.read(3)
     r.read(1)
+    # per-frame sample-size override (reference flac/decoder.py:186-229;
+    # code 0 = from streaminfo, 3 reserved)
+    if (ss_code == 3).any():
+        raise ValueError("reserved sample-size code in frame header")
+    _SS_LUT = np.array([0, 8, 12, 0, 16, 20, 24, 32], np.int64)
+    fbps = np.where(ss_code == 0, bps, _SS_LUT[ss_code])
 
     b0 = r.read(8)
     extra_tab = np.array([coded_number.following_bytes(v)
@@ -239,7 +246,7 @@ def parse_frames_numpy(data: np.ndarray, start_bits: np.ndarray,
                      np.where(is_lpc, (type_code & 31) + 1, 0))
         kind[:, c] = k
         order[:, c] = o
-        eff_bps = bps + decorr_bit[:, c] - w
+        eff_bps = fbps + decorr_bit[:, c] - w
 
         # constant: one sample, replicated
         cval = r.read_signed(np.where(is_const, eff_bps, 0))

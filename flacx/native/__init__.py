@@ -192,7 +192,7 @@ class ScannedFrames:
     __slots__ = ("channel_code", "kind", "order", "shift", "wasted", "po",
                  "width", "taps", "warmup", "const_val", "ckpt_pos",
                  "ckpt_param", "ckpt_esc", "ckpt_inesc", "ckpt_state",
-                 "end_bits", "ckpt_interval", "state_interval")
+                 "end_bits", "ckpt_interval", "state_interval", "fbps")
 
     def __init__(self, **kw):
         for k, v in kw.items():
@@ -244,7 +244,8 @@ def scan_frames(data: np.ndarray, start_bits: np.ndarray, block_size: int,
         ckpt_state=(np.zeros((f, c, ks, 32), np.int32) if ss > 0 else None),
         end_bits=np.zeros(f, np.int64),
         ckpt_interval=s,
-        state_interval=ss)
+        state_interval=ss,
+        fbps=np.zeros(f, np.int32))
 
     cdll.flacx_scan_frames.restype = ctypes.c_int64
     rc = cdll.flacx_scan_frames(
@@ -268,7 +269,8 @@ def scan_frames(data: np.ndarray, start_bits: np.ndarray, block_size: int,
         ctypes.c_void_p(out.ckpt_esc.ctypes.data),
         ctypes.c_void_p(out.ckpt_inesc.ctypes.data),
         ctypes.c_void_p(out.ckpt_state.ctypes.data if ss > 0 else None),
-        ctypes.c_void_p(out.end_bits.ctypes.data))
+        ctypes.c_void_p(out.end_bits.ctypes.data),
+        ctypes.c_void_p(out.fbps.ctypes.data))
     if rc != 0:
         raise ValueError(f"frame scan error in row {int(rc) - 1}")
     return out

@@ -250,6 +250,10 @@ const int kFixedTaps[5][4] = {
     {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0},
     {3, -3, 1, 0}, {4, -6, 4, -1}};
 
+// Frame-header sample-size codes (RFC 9639 §9.1.3; reference
+// flac/decoder.py:186-229): 0 = from streaminfo, 3 reserved.
+const int kSampleSize[8] = {0, 8, 12, -1, 16, 20, 24, 32};
+
 }  // namespace
 
 extern "C" {
@@ -262,7 +266,8 @@ int64_t flacx_parse_frames(const uint8_t* data, int64_t n_rows,
                            int32_t* order, int32_t* shift, int32_t* wasted,
                            int32_t* taps /* [F,C,32] */,
                            int64_t* residual /* [F,C,N] */,
-                           int64_t* end_bits /* [F] */) {
+                           int64_t* end_bits /* [F] */,
+                           int32_t* fbps /* [F] or null */) {
     const int64_t n = block_size;
     for (int64_t r = 0; r < n_rows; ++r) {
         BitCursor cur{data + r * row_stride, row_stride, start_bits[r]};
@@ -272,7 +277,13 @@ int64_t flacx_parse_frames(const uint8_t* data, int64_t n_rows,
         uint32_t bs_code = static_cast<uint32_t>(cur.read(4));
         uint32_t sr_code = static_cast<uint32_t>(cur.read(4));
         uint32_t ch_code = static_cast<uint32_t>(cur.read(4));
-        cur.read(4);                        // sample size + reserved
+        // per-frame sample-size override (reference decodes these in its
+        // one path, flac/decoder.py:186-229; code 0 = from streaminfo)
+        uint32_t ss_code = static_cast<uint32_t>(cur.read(3));
+        cur.read(1);                        // reserved
+        if (ss_code == 3) return r + 1;
+        const int fb = ss_code ? kSampleSize[ss_code] : bps;
+        if (fbps) fbps[r] = fb;
         uint32_t b0 = static_cast<uint32_t>(cur.read(8));
         int extra = 0;                      // coded-number continuation
         for (uint32_t m = 0x80; m && (b0 & m); m >>= 1) ++extra;
@@ -306,7 +317,7 @@ int64_t flacx_parse_frames(const uint8_t* data, int64_t n_rows,
                 w = static_cast<int>(u) + 1;
             }
             wasted[sub] = w;
-            int eff = bps + decorr[c] - w;
+            int eff = fb + decorr[c] - w;
 
             int k, o;
             if (type_code == 0) { k = 0; o = 0; }
@@ -575,7 +586,8 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
                           int32_t* ckpt_esc,              // [F,C,K]
                           int32_t* ckpt_inesc,            // [F,C,K]
                           int32_t* ckpt_state,            // [F,C,Ks,32]
-                          int64_t* end_bits) {            // [F]
+                          int64_t* end_bits,              // [F]
+                          int32_t* fbps) {                // [F] or null
     const int64_t n = block_size;
     const int S = ckpt_interval;
     const int64_t K = (n + S - 1) / S;
@@ -594,7 +606,13 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
         uint32_t bs_code = static_cast<uint32_t>(cur.read(4));
         uint32_t sr_code = static_cast<uint32_t>(cur.read(4));
         uint32_t ch_code = static_cast<uint32_t>(cur.read(4));
-        cur.read(4);                        // sample size + reserved
+        // per-frame sample-size override (reference decodes these in its
+        // one path, flac/decoder.py:186-229; code 0 = from streaminfo)
+        uint32_t ss_code = static_cast<uint32_t>(cur.read(3));
+        cur.read(1);                        // reserved
+        if (ss_code == 3) return r + 1;
+        const int fb = ss_code ? kSampleSize[ss_code] : bps;
+        if (fbps) fbps[r] = fb;
         uint32_t b0 = static_cast<uint32_t>(cur.read(8));
         int extra = 0;                      // coded-number continuation
         for (uint32_t m = 0x80; m && (b0 & m); m >>= 1) ++extra;
@@ -633,7 +651,7 @@ int64_t flacx_scan_frames(const uint8_t* data, int64_t n_rows,
                 w = static_cast<int>(u) + 1;
             }
             wasted[sub] = w;
-            const int eff = bps + decorr[c] - w;
+            const int eff = fb + decorr[c] - w;
             if (eff <= 0 || eff > 33) return r + 1;
 
             int k, o;

@@ -664,3 +664,80 @@ def test_device_decode_lpc_chunk_parallel_path(rng, monkeypatch):
     data = _encode_device_stream(pcm, block_size=n, max_lpc_order=8)
     _, got = dec.decode_array(data, batch_frames=5)
     np.testing.assert_array_equal(got, pcm)
+
+
+def _patch_sample_size(frame: bytes, ss_code: int) -> bytes:
+    """Rewrite a frame header's sample-size code (explicit override form)
+    and fix up the header CRC-8 and frame CRC-16."""
+    import flacx.coded_number as cn
+    from flacx.crc import crc8, crc16
+
+    b = bytearray(frame)
+    b[3] = (b[3] & 0xF1) | (ss_code << 1)
+    extra = cn.following_bytes(b[4])
+    bs_code, sr_code = b[2] >> 4, b[2] & 0xF
+    hdr = (5 + extra + (1 if bs_code == 6 else 2 if bs_code == 7 else 0)
+           + (1 if sr_code == 12 else 2 if sr_code in (13, 14) else 0))
+    b[hdr] = crc8(bytes(b[:hdr]))
+    b[-2:] = crc16(bytes(b[:-2])).to_bytes(2, "big")
+    return bytes(b)
+
+
+def test_sample_size_override_batch_decode(rng, monkeypatch):
+    """Frames carrying explicit per-frame sample-size codes — including a
+    MIX of widths in one stream — decode through the batch path with no
+    sequential fallback (VERDICT r3 item 5; reference handles these in
+    its one path, flac/decoder.py:186-229)."""
+    import flacx.decoder as dec
+    from flacx.format import MAGIC, MetadataBlockType, Streaminfo
+    from flacx.oracle.encoder import (EncoderParameters, encode_frame,
+                                      serialize_metadata_header,
+                                      serialize_streaminfo)
+
+    n, nframes = 256, 12
+    params = EncoderParameters(block_size=n)
+    frames = []
+    pcm_all = np.zeros((nframes * n, 2), np.int64)
+    for i in range(nframes):
+        bpsf = 16 if i % 2 == 0 else 12
+        pcm = make_pcm(rng, n, 2, bpsf, "tonal").astype(np.int64)
+        pcm_all[i * n: (i + 1) * n] = pcm
+        planar = [list(map(int, pcm[:, c])) for c in range(2)]
+        from flacx.format import Channels
+        fr = encode_frame(planar, Channels.L_R, i, bpsf, params)
+        if bpsf != 16:
+            fr = _patch_sample_size(fr, 2)      # explicit 12-bit code
+        frames.append(fr)
+
+    stream = (MAGIC
+              + serialize_metadata_header(True,
+                                          MetadataBlockType.Streaminfo, 34)
+              + serialize_streaminfo(Streaminfo(n, n, 0, 0, 44100, 2, 16,
+                                                nframes * n, bytes(16)))
+              + b"".join(frames))
+
+    def _no_fallback(*a, **k):
+        raise AssertionError("sequential fallback must not run")
+
+    monkeypatch.setattr(dec, "_decode_sequential", _no_fallback)
+    si, got = dec.decode_array(stream, batch_frames=8)
+    np.testing.assert_array_equal(got, pcm_all)
+
+    # uniform-override stream (every frame explicit 12-bit)
+    frames12 = []
+    for i in range(nframes):
+        pcm = pcm_all[i * n: (i + 1) * n]
+        pcm12 = np.clip(pcm, -(1 << 11), (1 << 11) - 1)
+        planar = [list(map(int, pcm12[:, c])) for c in range(2)]
+        from flacx.format import Channels
+        frames12.append(_patch_sample_size(
+            encode_frame(planar, Channels.L_R, i, 12, params), 2))
+    stream12 = (MAGIC
+                + serialize_metadata_header(
+                    True, MetadataBlockType.Streaminfo, 34)
+                + serialize_streaminfo(Streaminfo(n, n, 0, 0, 44100, 2, 16,
+                                                  nframes * n, bytes(16)))
+                + b"".join(frames12))
+    si12, got12 = dec.decode_array(stream12, batch_frames=8)
+    want12 = np.clip(pcm_all, -(1 << 11), (1 << 11) - 1)
+    np.testing.assert_array_equal(got12, want12)

@@ -98,8 +98,13 @@ def _reference_decode(data: bytes) -> np.ndarray | None:
         return None
     finally:
         sys.path.remove("/root/reference")
-        sys.modules.pop("flac.decoder", None)
-        sys.modules.pop("flac", None)
+        # pop the WHOLE flac package tree: leaving any submodule cached
+        # while removing the parent breaks a later fresh `import
+        # flac.encoder` (the cached child returns from sys.modules
+        # without rebinding the attribute on the fresh parent)
+        for _m in [k for k in sys.modules
+                   if k == "flac" or k.startswith("flac.")]:
+            sys.modules.pop(_m, None)
     *_, samples = ref_decode(io.BytesIO(data))
     return np.array([list(s) for s in samples], np.int64)
 
