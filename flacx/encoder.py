@@ -283,6 +283,47 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     i_pos = jnp.arange(n, dtype=jnp.int32)
     wdt = cfg.work_dtype
 
+    # kernel-resident fast-path gates, decided up front (all static):
+    # the blocked emit layout + the fused residual→zigzag kernel.  When
+    # use_fused_zz holds, the selected residual NEVER materializes in
+    # HBM — the per-virtual-channel stats pass skips its residual write
+    # and the post-selection zigzag is one VMEM-resident kernel.
+    c_static = 2 if cfg.use_stereo_modes else cfg.channels
+    psize_min = n >> max(cfg.porders)
+    layout_ok = (emit.blocked_layout_ok(n, psize_min)
+                 or emit.segmented_layout(n, psize_min) is not None)
+    use_tile_emit = (jax.default_backend() == "tpu" and wdt == jnp.int32
+                     and layout_ok
+                     and b % 128 == 0 and c_static <= 2
+                     and cfg.eff_bps <= 31 and _stop_after is None)
+    if (jax.default_backend() == "tpu" and not use_tile_emit
+            and _stop_after is None):
+        # no-silent-caps: say WHY the kernel-resident emit/pack path is
+        # off (once per distinct reason set — jit traces once per config)
+        import logging
+        reasons = [r for ok, r in [
+            (wdt == jnp.int32, f"work dtype {jnp.dtype(wdt).name}"),
+            (layout_ok, f"slot layout untileable (n={n}, "
+                        f"psize_min={psize_min})"),
+            (b % 128 == 0, f"batch {b} not a multiple of 128"),
+            (c_static <= 2, f"{c_static} channels > 2"),
+            (cfg.eff_bps <= 31, f"eff_bps {cfg.eff_bps} > 31"),
+        ] if not ok]
+        logging.getLogger("flacx").info(
+            "tile emit/pack fast path disabled (%s); using the XLA "
+            "symbol path", "; ".join(reasons))
+    sum_taps_merged = max(max(1, p << max(prec - 1, 0)), 15)
+    from flacx.kernels.lpcres_tile import split_mac_ok
+    # the zigzag-residual kernel is exact under the single-int32 MAC
+    # bound, or — for hi-res widths past it — under the two-limb split
+    # MAC (chosen lanes provably non-overflowing); long blocks take its
+    # chunked form, so n is unconstrained
+    fused_zz_i32 = (cfg.eff_bps + 1 + sum_taps_merged.bit_length() <= 31)
+    fused_zz_split = (not fused_zz_i32
+                      and split_mac_ok(cfg.eff_bps, sum_taps_merged))
+    use_fused_zz = (use_tile_emit and cfg.order_search == "estimate"
+                    and (fused_zz_i32 or fused_zz_split))
+
     adt = (jnp.float64 if cfg.analysis_dtype == "f64"
            or (cfg.analysis_dtype == "auto" and cfg.order_search == "exact")
            else jnp.float32)
@@ -291,7 +332,10 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         # under exact/auto for reference-grade coefficient choices); the
         # autocorr accumulation and Levinson recursion are always f64
         w32 = jnp.asarray(tukey_window_np(n).astype(adt))
-        autoc = autocorrelate(x_v.astype(adt), p, window=w32)
+        # f32 analysis hands the kernel the raw int32 signal — the f32
+        # conversion happens in VMEM (no [B, V, N] f32 copy in HBM)
+        autoc = autocorrelate(x_v if adt == jnp.float32
+                              else x_v.astype(adt), p, window=w32)
         taps_f, lpc_err, valid_ld = levinson_all_orders(autoc, p)
         # Levinson-Durbin returns the ANALYSIS polynomial a[1:] (error
         # filter e = Σ a_j·x[i-j]); the PREDICTION coefficients for
@@ -370,7 +414,7 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
             sum_taps_max = max(1, p << max(prec - 1, 0))
             lpc_res, lzz_exact, lpc_maxabs = predict_residual_fused(
                 x_v, taps_lpc_v, shift_lpc_v, lpc_order,
-                cfg.eff_bps, sum_taps_max)
+                cfg.eff_bps, sum_taps_max, stats_only=use_fused_zz)
         lpc_bits = (rice.estimate_bits(
             lzz_exact, (n - lpc_order).astype(jnp.int64), cfg.kmax)
             + 8 + lpc_order.astype(jnp.int64) * bps_v64
@@ -381,7 +425,8 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
             # the LPC candidate ineligible (verbatim/fixed win instead)
             lpc_ok = lpc_ok & (lpc_maxabs < (1 << 30))
         lpc_bits = jnp.where(lpc_ok, lpc_bits, _INF)
-        lpc_res = lpc_res.astype(wdt)
+        if lpc_res is not None:          # fused-zz path is stats-only
+            lpc_res = lpc_res.astype(wdt)
         pred_is_lpc = lpc_bits < fixed_bits
     else:
         lpc_bits = jnp.full_like(fixed_bits, _INF)
@@ -462,9 +507,10 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     # the narrow [B, C] domain (cheaper than materializing + gathering the
     # [B, V, 5, N] stack); the LPC residual is gathered from the single
     # per-channel best already computed above.  (Exact mode already has
-    # every virtual channel's residual and plan — gather those instead.)
+    # every virtual channel's residual and plan — gather those instead;
+    # the fused-zz path recomputes the whole residual in VMEM below.)
     taps_fix4 = jnp.asarray(FIXED_PREDICTOR_TAPS)[f_order]       # [B,C,4]
-    if plan_v is None:
+    if plan_v is None and not use_fused_zz:
         res_fix = predict_residual(
             x_sel, taps_fix4, jnp.zeros((b, c), jnp.int32),
             cfg.fixed_acc_dtype).astype(wdt)
@@ -488,6 +534,12 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     if plan_v is not None:
         zz = gather_v(zz_v)
         plan = rice.RicePlan(*(gather_v(f) for f in plan_v))
+    elif use_fused_zz:
+        # one VMEM-resident MAC+zigzag from the merged per-channel taps —
+        # bit-identical to the res_fix/merge/zigzag chain it replaces
+        from flacx.kernels.lpcres_tile import zigzag_residual_tiles
+        zz = zigzag_residual_tiles(x_sel, taps.astype(jnp.int32),
+                                   shift, order, split=fused_zz_split)
     else:
         in_resid = i_pos >= order[..., None]
         zz = rice.zigzag(res) * in_resid
@@ -517,12 +569,7 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     indices = (frame_index + jnp.arange(b, dtype=jnp.int64)
                if frame_index.ndim == 0 else frame_index.astype(jnp.int64))
     hdr = frame_header_symbols(indices, ch_code, n)
-    psize_min = n >> max(cfg.porders)
 
-    use_tile_emit = (jax.default_backend() == "tpu" and wdt == jnp.int32
-                     and emit.blocked_layout_ok(n, psize_min)
-                     and b % 128 == 0 and c <= 2 and cfg.eff_bps <= 31
-                     and _stop_after is None)
     if use_tile_emit:
         # kernel-resident emit→pack (flacx.ops.tilepack): per-sample
         # symbols never materialize in HBM, no transposes around the

@@ -35,13 +35,21 @@ LANES = 128         # rows (subframes) per block (compute lane axis)
 MAX_LAGS = 64       # sublane lookahead budget (FLAC needs ≤ 33)
 
 
-def _autocorr_kernel(n_lags: int, lag_sub: int, n_tiles: int,
+def _autocorr_kernel(n_lags: int, lag_sub: int, n_tiles: int, bv: int | None,
                      x_ref, nxt_ref, w_ref, wn_ref, out_ref):
     j = pl.program_id(1)
-    # window-multiply in the natural [LANES, TILE] layout, transpose in
-    # VMEM to the [TILE, LANES] compute layout
-    cur = (x_ref[...] * w_ref[...]).T            # [TILE, LANES] f32
-    look = (nxt_ref[...] * wn_ref[...]).T[:MAX_LAGS]
+    xb, nb = x_ref[...], nxt_ref[...]
+    if bv is not None:
+        xb = xb.reshape(LANES, TILE)
+        nb = nb.reshape(LANES, TILE)
+    # int32 signals convert to f32 IN VMEM (the [R, N] f32 copy the XLA
+    # path materializes in HBM never exists), then window-multiply in the
+    # natural [LANES, TILE] layout and transpose to the compute layout
+    if xb.dtype != jnp.float32:
+        xb = xb.astype(jnp.float32)
+        nb = nb.astype(jnp.float32)
+    cur = (xb * w_ref[...]).T                    # [TILE, LANES] f32
+    look = (nb * wn_ref[...]).T[:MAX_LAGS]
     # the final tile has no lookahead (its block index is clamped)
     look = look * (j != n_tiles - 1).astype(jnp.float32)
     ext = jnp.concatenate([cur, look], axis=0)
@@ -60,10 +68,13 @@ def autocorr_tiled(v: jnp.ndarray, max_lag: int,
     """Autocorrelation lags ``0..max_lag`` of zero-padded rows.
 
     Args:
-      v: ``[R, N]`` f32 rows (``R`` a multiple of 128).  Plain
-        zero-padded autocorrelation ``Σ_i v[i]·v[i+lag]`` — callers
-        wanting the reference's drop-last-product range zero the final
-        sample (or final window element) first.
+      v: ``[R, N]`` f32 or int32 rows (``R`` a multiple of 128), or
+        ``[B, V, N]`` with ``V`` dividing 128 (read through a 3D block
+        spec — no reshape/retiling copy).  int32 converts to f32 inside
+        the kernel.  Plain zero-padded autocorrelation
+        ``Σ_i v[i]·v[i+lag]`` — callers wanting the reference's
+        drop-last-product range zero the final sample (or final window
+        element) first.
       max_lag: largest lag (``< MAX_LAGS``).
       window: optional ``[N]`` f32 apodization window, multiplied
         element-wise inside the kernel (the windowed signal is never
@@ -71,31 +82,51 @@ def autocorr_tiled(v: jnp.ndarray, max_lag: int,
     Returns:
       ``[R, max_lag+1]`` f64.
     """
-    r, n = v.shape
+    n = v.shape[-1]
+    r = 1
+    for d in v.shape[:-1]:
+        r *= d
     n_lags = max_lag + 1
     assert n_lags <= MAX_LAGS and r % LANES == 0
     lag_sub = -(-n_lags // 8) * 8              # sublane-aligned lag rows
 
     n_tiles = -(-n // TILE)
+    nt = n_tiles
+    bv = None
+    if v.ndim == 3 and LANES % v.shape[1] == 0:
+        bv = v.shape[1]
+    elif v.ndim == 3:
+        v = v.reshape(r, n)
     if window is None:
         window = jnp.ones((n,), jnp.float32)
     window = window.astype(jnp.float32)
     if n_tiles * TILE != n:
-        v = jnp.pad(v, ((0, 0), (0, n_tiles * TILE - n)))
-        window = jnp.pad(window, (0, n_tiles * TILE - n))
+        pad_n = n_tiles * TILE - n
+        v = jnp.pad(v, ((0, 0),) * (v.ndim - 1) + ((0, pad_n),))
+        window = jnp.pad(window, (0, pad_n))
     w2 = window[None, :]                       # [1, N]
 
-    nt = n_tiles
+    if bv is not None:
+        x_spec = pl.BlockSpec((LANES // bv, bv, TILE),
+                              lambda i, j: (i, j - j, j),
+                              memory_space=pltpu.VMEM)
+        nxt_spec = pl.BlockSpec(
+            (LANES // bv, bv, TILE),
+            lambda i, j: (i, j - j, jnp.minimum(j + 1, nt - 1)),
+            memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((LANES, TILE), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)
+        nxt_spec = pl.BlockSpec((LANES, TILE),
+                                lambda i, j: (i, jnp.minimum(j + 1, nt - 1)),
+                                memory_space=pltpu.VMEM)
     grid = (r // LANES, nt)
-    nxt_map = lambda i, j: (i, jnp.minimum(j + 1, nt - 1))
     out = pl.pallas_call(
-        functools.partial(_autocorr_kernel, n_lags, lag_sub, nt),
+        functools.partial(_autocorr_kernel, n_lags, lag_sub, nt, bv),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((LANES, TILE), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, TILE), nxt_map,
-                         memory_space=pltpu.VMEM),
+            x_spec,
+            nxt_spec,
             pl.BlockSpec((1, TILE), lambda i, j: (i - i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE),

@@ -342,6 +342,95 @@ def merge_tiles_t(vt: jnp.ndarray, lt: jnp.ndarray,
     return words, bits
 
 
+def _pair_kernel(r_in: int, r_out: int, lanes: int,
+                 a_ref, la_ref, out_ref):
+    """Merge ONE adjacent string pair (level step of the upper tree).
+
+    ``a_ref`` block is ``[1, 2·r_in, lanes]`` (strings A then B),
+    ``la_ref`` ``[1, 1, 8, lanes]`` with A's bit length replicated on
+    sublanes.  Same roll/carry formulation as ``_upper_kernel``'s inner
+    loop; one pair per grid step keeps VMEM bounded for stacks too tall
+    to merge in a single kernel instance (hi-res segmented layouts
+    reach 256 strings × 512 words × 128 lanes = 67 MB just for the
+    input block)."""
+    buf = a_ref[0]                               # [2·r_in, lanes] u32
+    la = la_ref[0, 0, 0:1, :]                    # [1, lanes] i32
+    delta = r_in * 32 - la
+    w = delta >> 5
+    r = (delta & 31).astype(jnp.uint32)
+    od = jnp.concatenate([jnp.zeros((r_in, lanes), jnp.uint32),
+                          buf[r_in:]], axis=0)
+    t = 1
+    while t <= r_in:
+        rolled = pltpu.roll(od, jnp.int32(2 * r_in - t), axis=0)
+        od = jnp.where((w & t) != 0, rolled, od)
+        t <<= 1
+    nxt = pltpu.roll(od, jnp.int32(2 * r_in - 1), axis=0)
+    od = jnp.where(r > 0, (od << r) | (nxt >> ((32 - r) & 31)), od)
+    if r_out <= r_in:
+        out_ref[0] = buf[:r_out] | od[:r_out]
+    else:
+        out_ref[0] = jnp.concatenate(
+            [buf[:r_in] | od[:r_in], od[r_in:r_out]], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_rows", "interpret"))
+def merge_strings_t_leveled(wt: jnp.ndarray, bits: jnp.ndarray,
+                            out_rows: int | None = None,
+                            interpret: bool = False) -> jnp.ndarray:
+    """:func:`merge_strings_t` semantics via one pallas call PER LEVEL.
+
+    The single-call kernel holds the whole ``[S·cap, lanes]`` stack in
+    VMEM — impossible for hi-res segmented stacks (≥ 67 MB).  Here each
+    level round-trips the stack through HBM once (≈ 8 × 40 MB ≈ 0.4 ms
+    at HBM peak for the worst case) and each grid step merges one pair
+    in a bounded [1, 2·r, L] block.  Bit-identical to
+    :func:`merge_strings_t`.
+    """
+    g, rows, l = wt.shape
+    s = bits.shape[1]
+    cap = rows // s
+    assert s & (s - 1) == 0 and cap * s == rows
+    if out_rows is None or out_rows > rows:
+        out_rows = rows
+    levels = s.bit_length() - 1
+
+    cur = wt
+    cur_bits = bits
+    r_in = cap
+    for _ in range(levels):
+        pairs = cur_bits.shape[1] // 2
+        r_out = min(2 * r_in, out_rows)
+        la = cur_bits[:, 0::2, :]                  # [G, pairs, L]
+        la8 = jnp.broadcast_to(la[:, :, None, :], (g, pairs, 8, l))
+        cur = pl.pallas_call(
+            functools.partial(_pair_kernel, r_in, r_out, l),
+            grid=(g, pairs),
+            in_specs=[
+                pl.BlockSpec((1, 2 * r_in, l), lambda i, p: (i, p, p - p),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8, l),
+                             lambda i, p: (i, p, p - p, p - p),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, r_out, l),
+                                   lambda i, p: (i, p, p - p),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((g, pairs * r_out, l),
+                                           jnp.uint32),
+            # deep levels need ~4× the pair block (buf + od + roll
+            # temporaries); the physical budget on v5e-class chips is
+            # 128 MiB, so give the deepest pair (2×26k words × 128
+            # lanes) headroom beyond the default 100 MB cap
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+            interpret=interpret,
+        )(cur, la8)
+        cur_bits = cur_bits[:, 0::2, :] + cur_bits[:, 1::2, :]
+        r_in = r_out
+    return cur
+
+
 @functools.partial(jax.jit, static_argnames=("lanes", "out_rows",
                                              "interpret"))
 def merge_strings_t(wt: jnp.ndarray, bits: jnp.ndarray,

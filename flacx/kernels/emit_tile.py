@@ -41,25 +41,24 @@ LANES = 128
 TILE = 512          # packer tile size the output is padded to
 
 
-def _emit_kernel(n: int, psize_min: int, slots_pad: int,
-                 zz_ref, x_ref, kesc_ref, pv_ref, plen_ref, meta_ref,
-                 out_v_ref, out_l_ref):
-    zz = zz_ref[...].T                          # [N, LANES] i32 (masked)
-    x = x_ref[...].T                            # [N, LANES] i32
-    # per-SEGMENT Rice parameter/escape (k | esc << 7), expanded to
-    # per-sample entirely in VMEM — partitions are unions of the finest
-    # psize_min grid, so no [B, C, N] parameter expansion ever touches
-    # HBM (it cost ~0.5 ms/batch of i8/pred passes + layout copies)
-    nseg = n // psize_min
-    kseg = kesc_ref[0, :nseg, :]                # [nseg, LANES] i32
-    kesc = jnp.broadcast_to(kseg[:, None, :], (nseg, psize_min, kseg.shape[-1])
-                            ).reshape(n, -1)    # [N, LANES]
+def _sample_syms(m: int, psize: int, base, zz, x, kesc_seg, meta_ref):
+    """Per-sample symbol values/lengths for ``m`` samples (shared by the
+    blocked and segmented kernels).
+
+    ``zz``/``x`` are ``[m, LANES]`` i32, ``kesc_seg`` is
+    ``[m // psize, LANES]`` per-segment ``k | esc << 7``, ``base`` the
+    chunk's global sample offset (an i32 scalar or Python int).
+    """
+    nseg = m // psize
+    kesc = jnp.broadcast_to(kesc_seg[:, None, :],
+                            (nseg, psize, kesc_seg.shape[-1])
+                            ).reshape(m, -1)    # [m, LANES]
 
     kind = meta_ref[0, 0:1, :]                  # [1, LANES] i32
     order = meta_ref[0, 1:2, :]
     bps = meta_ref[0, 2:3, :]
 
-    i_pos = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 0)
+    i_pos = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 0) + base
     is_pred = kind >= KIND_FIXED
     in_resid = is_pred & (i_pos >= order)
     k = kesc & 31
@@ -81,6 +80,21 @@ def _emit_kernel(n: int, psize_min: int, slots_pad: int,
     samp_v = jnp.where(is_verb, verb_v, pred_v)
     samp_l = jnp.where(is_verb, bps,
                        jnp.where(in_resid, pred_l, jnp.int32(0)))
+    return samp_v, samp_l
+
+
+def _emit_kernel(n: int, psize_min: int, slots_pad: int,
+                 zz_ref, x_ref, kesc_ref, pv_ref, plen_ref, meta_ref,
+                 out_v_ref, out_l_ref):
+    zz = zz_ref[...].T                          # [N, LANES] i32 (masked)
+    x = x_ref[...].T                            # [N, LANES] i32
+    # per-SEGMENT Rice parameter/escape (k | esc << 7), expanded to
+    # per-sample entirely in VMEM — partitions are unions of the finest
+    # psize_min grid, so no [B, C, N] parameter expansion ever touches
+    # HBM (it cost ~0.5 ms/batch of i8/pred passes + layout copies)
+    nseg = n // psize_min
+    samp_v, samp_l = _sample_syms(n, psize_min, 0, zz, x,
+                                  kesc_ref[0, :nseg, :], meta_ref)
 
     pv = pv_ref[0]                              # [params_pad, LANES] u32
     plen = plen_ref[0]                          # [params_pad, LANES] i32
@@ -101,6 +115,31 @@ def _emit_kernel(n: int, psize_min: int, slots_pad: int,
         lparts.append(jnp.zeros((slots_pad - used, LANES), jnp.int32))
     out_v_ref[0] = jnp.concatenate(vparts, axis=0)
     out_l_ref[0] = jnp.concatenate(lparts, axis=0)
+
+
+def _emit_seg_kernel(psize: int, chunk_segs: int,
+                     zz_ref, x_ref, kesc_ref, pv_ref, plen_ref, meta_ref,
+                     out_v_ref, out_l_ref):
+    """Segmented layout: ``chunk_segs`` segments of ``[1 param slot,
+    psize samples]`` per grid step (dense — no 8-pad; the slot span per
+    chunk is a whole number of packer tiles by construction).  Off-grid
+    head params ride in the header string (``tilepack``)."""
+    j = pl.program_id(1)
+    s = chunk_segs
+    m = s * psize                               # samples per chunk
+    zz = zz_ref[...].T                          # [m, LANES] i32
+    x = x_ref[...].T
+    samp_v, samp_l = _sample_syms(m, psize, j * m, zz, x,
+                                  kesc_ref[0], meta_ref)
+
+    sv3 = samp_v.reshape(s, psize, LANES)
+    sl3 = samp_l.reshape(s, psize, LANES)
+    pv3 = pv_ref[0][:, None, :]                 # [s, 1, LANES] u32
+    pl3 = plen_ref[0][:, None, :]
+    out_v_ref[0] = jnp.concatenate([pv3, sv3], axis=1) \
+        .reshape(s * (psize + 1), LANES)
+    out_l_ref[0] = jnp.concatenate([pl3, sl3], axis=1) \
+        .reshape(s * (psize + 1), LANES)
 
 
 @functools.partial(jax.jit,
@@ -148,7 +187,7 @@ def emit_sample_tiles(zz: jnp.ndarray, x: jnp.ndarray, kesc: jnp.ndarray,
     pl_t = jnp.pad(param_l[:, ch], ((0, 0), (0, p8 - p))) \
         .reshape(grid_b, LANES, p8).transpose(0, 2, 1)
     # channel slicing of the big arrays happens in the BlockSpec (a
-    # block-column of the [B, C·N] view) — no HBM-side channel copies
+    # block-column of the [B, C·N] view — a free row-major reshape)
     zz2 = zz.reshape(b, c * n)
     x2 = x.reshape(b, c * n)
     nseg8 = -(-nseg // 8) * 8
@@ -191,6 +230,98 @@ def emit_sample_tiles(zz: jnp.ndarray, x: jnp.ndarray, kesc: jnp.ndarray,
         out_shape=(
             jax.ShapeDtypeStruct((grid_b, slots_pad, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((grid_b, slots_pad, LANES), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(zz2, x2, kesc_t, pv_t, pl_t, meta_t)
+    return out_v, out_l
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("channel", "psize_min", "chunk_segs",
+                                    "interpret"))
+def emit_sample_tiles_seg(zz: jnp.ndarray, x: jnp.ndarray,
+                          kesc: jnp.ndarray, pv_seg: jnp.ndarray,
+                          pl_seg: jnp.ndarray, kind: jnp.ndarray,
+                          order: jnp.ndarray, bps: jnp.ndarray,
+                          channel: int, psize_min: int, chunk_segs: int,
+                          interpret: bool = False
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Segmented-layout variant of :func:`emit_sample_tiles` for fine
+    partitions (``psize_min < 40``, e.g. block 16384 at ``-r 14``).
+
+    Args differ from the blocked variant in the params: ``pv_seg`` /
+    ``pl_seg`` are ``[B, C, nseg]`` — the partition-parameter symbols
+    ALREADY GATHERED to the on-grid positions (``segmented_layout``'s
+    ``mult_idx``); off-grid head params are the caller's job (they go
+    in the header string).  ``chunk_segs`` is ``segmented_layout``'s
+    chunk (segments per grid step).
+
+    Returns ``(values u32, lengths i32)`` of shape
+    ``[B // 128, nseg * (psize_min + 1), 128]`` — whole packer tiles,
+    same symbol stream as ``subframe_symbols``' general branch.
+    """
+    b, c, n = zz.shape
+    nseg = n // psize_min
+    assert b % LANES == 0 and nseg % chunk_segs == 0
+    chunk_slots = chunk_segs * (psize_min + 1)
+    m = chunk_segs * psize_min                  # samples per chunk
+    assert chunk_slots % TILE == 0 and chunk_segs % 8 == 0
+    assert m % 128 == 0, "segmented_layout must gate chunk width"
+    slots = nseg * (psize_min + 1)
+    n_chunks = nseg // chunk_segs
+    grid_b = b // LANES
+    ch = channel
+
+    def seg_t(a):
+        return a.reshape(grid_b, LANES, nseg).transpose(0, 2, 1)
+
+    pv_t = seg_t(pv_seg[:, ch])
+    pl_t = seg_t(pl_seg[:, ch])
+    kesc_t = seg_t(kesc[:, ch].astype(jnp.int32))
+    meta = jnp.stack([kind[:, ch].astype(jnp.int32),
+                      order[:, ch].astype(jnp.int32),
+                      bps[:, ch].astype(jnp.int32)], axis=-1)
+    meta_t = jnp.pad(meta, ((0, 0), (0, 5))) \
+        .reshape(grid_b, LANES, 8).transpose(0, 2, 1)
+
+    # channel slicing + chunking ride the BlockSpec over the [B, C·N]
+    # view (free row-major reshape): chunk j of channel ch is block
+    # column ch·n_chunks + j
+    zz2 = zz.reshape(b, c * n)
+    x2 = x.reshape(b, c * n)
+
+    seg_block = pl.BlockSpec((1, chunk_segs, LANES),
+                             lambda i, j: (i, j, j - j),
+                             memory_space=pltpu.VMEM)
+    out_v, out_l = pl.pallas_call(
+        functools.partial(_emit_seg_kernel, psize_min, chunk_segs),
+        grid=(grid_b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((LANES, m),
+                         lambda i, j: (i, j + ch * n_chunks),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, m),
+                         lambda i, j: (i, j + ch * n_chunks),
+                         memory_space=pltpu.VMEM),
+            seg_block,
+            seg_block,
+            seg_block,
+            pl.BlockSpec((1, 8, LANES), lambda i, j: (i, j - j, j - j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, chunk_slots, LANES),
+                         lambda i, j: (i, j, j - j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk_slots, LANES),
+                         lambda i, j: (i, j, j - j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid_b, slots, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((grid_b, slots, LANES), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

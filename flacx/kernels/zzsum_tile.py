@@ -36,10 +36,13 @@ LOOK = 8            # sublane-aligned lookbehind rows (needs 4)
 BINOM = ((1,), (1, -1), (1, -2, 1), (1, -3, 3, -1), (1, -4, 6, -4, 1))
 
 
-def _zzsum_kernel(n: int, n_orders: int, ord_sub: int,
+def _zzsum_kernel(n: int, n_orders: int, ord_sub: int, bv: int | None,
                   x_ref, out_ref, tail_ref):
     j = pl.program_id(1)
-    cur = x_ref[...].T                          # [TILE, LANES] i32
+    cur = x_ref[...]
+    if bv is not None:
+        cur = cur.reshape(LANES, TILE)
+    cur = cur.T                                 # [TILE, LANES] i32
     # lookbehind: last LOOK samples of the previous tile, carried across
     # the (sequentially executed) sample-tile grid axis in VMEM scratch
     prev = tail_ref[...] * (j != 0)
@@ -79,26 +82,40 @@ def fixed_order_sums(x: jnp.ndarray, n_orders: int = 5,
 
     Args:
       x: ``[R, N]`` int32 rows, ``R`` a multiple of 128, values with
-        ``eff_bps <= 17`` (caller-gated; int32 partials are exact).
+        ``eff_bps <= 17`` (caller-gated; int32 partials are exact);
+        or ``[B, V, N]`` with ``V`` dividing 128 (3D block spec — no
+        reshape/retiling copy in HBM).
       n_orders: orders ``0..n_orders-1`` (≤ 5).
     Returns:
       ``[R, n_orders]`` int64 — bit-identical to the XLA diff chain
       ``sum(zigzag(Δᵒx) * (i >= o))``.
     """
-    r, n = x.shape
+    n = x.shape[-1]
+    r = 1
+    for d in x.shape[:-1]:
+        r *= d
     assert r % LANES == 0 and n_orders <= 5
     nt = -(-n // TILE)
-    if nt * TILE != n:
-        x = jnp.pad(x, ((0, 0), (0, nt * TILE - n)))
+    bv = None
+    if x.ndim == 3 and LANES % x.shape[1] == 0:
+        bv = x.shape[1]
+        if nt * TILE != n:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, nt * TILE - n)))
+        x_spec = pl.BlockSpec((LANES // bv, bv, TILE),
+                              lambda i, j: (i, j - j, j),
+                              memory_space=pltpu.VMEM)
+    else:
+        x = x.reshape(r, n)
+        if nt * TILE != n:
+            x = jnp.pad(x, ((0, 0), (0, nt * TILE - n)))
+        x_spec = pl.BlockSpec((LANES, TILE), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)
     ord_sub = 8
 
     out = pl.pallas_call(
-        functools.partial(_zzsum_kernel, n, n_orders, ord_sub),
+        functools.partial(_zzsum_kernel, n, n_orders, ord_sub, bv),
         grid=(r // LANES, nt),
-        in_specs=[
-            pl.BlockSpec((LANES, TILE), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[x_spec],
         out_specs=pl.BlockSpec((1, ord_sub, LANES),
                                lambda i, j: (j, i - i, i),
                                memory_space=pltpu.VMEM),

@@ -175,6 +175,43 @@ def blocked_layout_ok(n: int, psize_min: int) -> bool:
             and n % psize_min == 0 and n > psize_min)
 
 
+def segmented_layout(n: int, psize_min: int
+                     ) -> tuple[int, list[int], list[int]] | None:
+    """Chunking for the SEGMENTED tile-emit layout (fine partitions).
+
+    For ``psize_min < 40`` (full ``-r 0..15`` searches drive it down to
+    1 at block 16384) the blocked layout's 33-param head no longer
+    precedes the first grid boundary, so the kernel emits the same
+    dense stream as :func:`subframe_symbols`' general branch:
+    off-grid head params first (they ride in the HEADER tile string —
+    at most one, partition 0's, is nonzero and it precedes the first
+    nonzero sample), then ``nseg`` segments of ``[1 param slot,
+    psize_min samples]``.
+
+    Returns ``(chunk_segs, extra_idx, mult_idx)`` where ``chunk_segs``
+    is the smallest segment count whose slot span is a whole number of
+    512-slot packer tiles (the kernel's grid step), and ``extra_idx`` /
+    ``mult_idx`` index :func:`param_slot_positions` rows for off-grid
+    head params / on-grid segment params.  None when the layout cannot
+    be tiled (chunk not sublane-aligned or ``nseg`` not a chunk
+    multiple) — callers fall back to the XLA path.
+    """
+    import math
+
+    if psize_min < 1 or n % psize_min or n <= psize_min:
+        return None
+    nseg = n // psize_min
+    span = psize_min + 1
+    chunk = 512 // math.gcd(span, 512)
+    if chunk % 8 or nseg % chunk or (chunk * psize_min) % 128:
+        return None
+    ppos = param_slot_positions(n, psize_min)
+    extra = [j for j, pos in enumerate(ppos) if pos % psize_min]
+    mult = [j for j, pos in enumerate(ppos) if pos % psize_min == 0]
+    assert len(mult) == nseg
+    return chunk, extra, mult
+
+
 def subframe_symbols(kind: jnp.ndarray, order: jnp.ndarray, bps: jnp.ndarray,
                      x: jnp.ndarray, taps: jnp.ndarray, shift: jnp.ndarray,
                      precision: int, zz: jnp.ndarray, plan: RicePlan,

@@ -77,7 +77,9 @@ def fixed_order_zz_sums(x: jnp.ndarray, eff_bps: int,
                            and r % 128 == 0 and n >= 5)
     if use_tile_kernel:
         from flacx.kernels.zzsum_tile import fixed_order_sums
-        return fixed_order_sums(x.reshape(r, n)).reshape(*lead, 5)
+        xin = x if (x.ndim == 3 and 128 % x.shape[1] == 0) \
+            else x.reshape(r, n)
+        return fixed_order_sums(xin).reshape(*lead, 5)
 
     i_pos = jnp.arange(n, dtype=jnp.int32)
     cols = []

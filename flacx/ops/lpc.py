@@ -62,17 +62,27 @@ def autocorrelate(w: jnp.ndarray, max_lag: int,
     r = 1
     for d in lead:
         r *= d
-    if (use_tile_kernel and w.dtype == jnp.float32 and max_lag < 63
-            and r % 128 == 0 and n >= 2):
+    if (use_tile_kernel and w.dtype in (jnp.float32, jnp.int32)
+            and max_lag < 63 and r % 128 == 0 and n >= 2):
+        # int32 signals pass straight through — the f32 conversion (and
+        # the window multiply) happen inside the kernel, so neither the
+        # f32 copy nor a [R, N] reshape is ever materialized in HBM; 3D
+        # [B, V, N] inputs keep their layout via a 3D block spec
         from flacx.kernels.autocorr_tile import autocorr_tiled
-        v = w.reshape(r, n)
+        v = w if (w.ndim == 3 and 128 % w.shape[1] == 0) \
+            else w.reshape(r, n)
         if window is None:
-            v = v.at[:, n - 1].set(0.0)         # drop-last-product range
+            if v.dtype == jnp.int32:
+                v = v.at[..., n - 1].set(0)     # drop-last-product range
+            else:
+                v = v.at[..., n - 1].set(0.0)
             win = None
         else:
             win = window.astype(jnp.float32).at[n - 1].set(0.0)
         return autocorr_tiled(v, max_lag, window=win
                               ).reshape(*lead, max_lag + 1)
+    if w.dtype == jnp.int32:
+        w = w.astype(jnp.float32)
     if window is not None:
         w = w * window.astype(w.dtype)
     cols = [jnp.sum(w[..., : n - lag - 1] * w[..., lag: n - 1], axis=-1,
@@ -237,6 +247,7 @@ def predict_residual_fused(x: jnp.ndarray, taps: jnp.ndarray,
                            shift: jnp.ndarray, order: jnp.ndarray,
                            eff_bps: int, sum_taps_max: int,
                            use_tile_kernel: bool | None = None,
+                           stats_only: bool = False,
                            ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Masked LPC residual + its two selection statistics, fused.
 
@@ -247,11 +258,19 @@ def predict_residual_fused(x: jnp.ndarray, taps: jnp.ndarray,
     encoder derives from the residual (reference ranking basis:
     flac/encoder.py:374-390).
 
+    ``stats_only=True`` returns ``(None, lzz, maxabs)`` and, on the
+    kernel path, never writes the residual to HBM (the encoder's fused
+    emit recomputes it in VMEM, ``flacx.kernels.lpcres_tile``).
+
     ``use_tile_kernel`` routes through the single-HBM-pass Pallas kernel
     (``flacx.kernels.lpcres_tile``); None = auto (TPU, rows a multiple
-    of 128, and the int32 MAC + int32 zigzag-partial exactness gates
-    derived from ``eff_bps`` and the static tap-magnitude bound
-    ``sum_taps_max = P · 2^(prec-1)``).  Both paths are bit-identical.
+    of 128, and either the int32 MAC + int32 zigzag-partial exactness
+    gates derived from ``eff_bps`` and the static tap-magnitude bound
+    ``sum_taps_max = P · 2^(prec-1)``, or — stats-only — the two-limb
+    split-int32 MAC gate).  Paths are bit-identical in every value the
+    encoder consumes: on lanes past the int32-eligibility threshold
+    (``maxabs ≥ 2^30``, discarded by the caller) the split path reports
+    a different-but-also-``≥ 2^30`` maxabs and unused lzz.
     """
     import jax
 
@@ -261,12 +280,30 @@ def predict_residual_fused(x: jnp.ndarray, taps: jnp.ndarray,
     for d in lead:
         r *= d
     t = taps.shape[-1]
+    int32_ok = (eff_bps + 1 + max(1, sum_taps_max).bit_length() <= 31
+                and (1 + sum_taps_max) < (1 << max(25 - eff_bps, 0)))
+    from flacx.kernels.lpcres_tile import split_mac_ok
+    # two-limb int32 MAC + split zigzag partials: covers the hi-res
+    # widths (24-bit / order 32) the single-int32 gates exclude, with
+    # selection bit-identical to the int64 arithmetic (overflow lanes
+    # are flagged past the caller's 2^30 discard threshold — see
+    # flacx.kernels.lpcres_tile._mac_rows)
+    split = (not int32_ok) and split_mac_ok(eff_bps, sum_taps_max)
     if use_tile_kernel is None:
         use_tile_kernel = (
             jax.default_backend() == "tpu" and r % 128 == 0
             and t <= 32 and n >= 1
-            and eff_bps + 1 + max(1, sum_taps_max).bit_length() <= 31
-            and (1 + sum_taps_max) < (1 << max(25 - eff_bps, 0)))
+            and (int32_ok or (split and stats_only)))
+    if use_tile_kernel and stats_only:
+        from flacx.kernels.lpcres_tile import lpc_residual_stats
+        xin = x.astype(jnp.int32)
+        if not (xin.ndim == 3 and 128 % xin.shape[1] == 0):
+            xin = xin.reshape(r, n)
+        lzz, maxabs = lpc_residual_stats(
+            xin, taps.astype(jnp.int32).reshape(r, t),
+            shift.astype(jnp.int32).reshape(r),
+            order.astype(jnp.int32).reshape(r), split=split)
+        return None, lzz.reshape(lead), maxabs.reshape(lead)
     if use_tile_kernel:
         from flacx.kernels.lpcres_tile import lpc_residual_tiles
         out_lead = (lead if len(lead) == 2 and 128 % lead[1] == 0

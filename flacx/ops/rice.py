@@ -121,6 +121,16 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     psize_fine = n >> max_po
     zzr = zz.reshape(*lead, nparts_max, psize_fine)
 
+    # int32 search arithmetic whenever the input is int32 (wdt-int32
+    # encoders, i.e. bps ≤ 24): within the code-length cap every
+    # per-partition quantity is tiny — ``q_ok`` at (k, partition)
+    # implies EVERY element's ``zz >> k ≤ 31``, so eligible sums are
+    # ≤ 31·psize < 2^20 and int32 never wraps where it matters; the
+    # int64-emulated chains were ~2× the VPU work and HBM bytes.
+    i32 = zz.dtype == jnp.int32
+    sdt = jnp.int32 if i32 else jnp.int64
+    invalid_s = jnp.asarray(1 << 28 if i32 else INVALID, sdt)
+
     # Partition maxima: finest level, then halve up the tree.
     m_by_po = {max_po: jnp.max(zzr, axis=-1)}
     for po in range(max_po, 0, -1):
@@ -138,31 +148,82 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     rice_min4, rice_arg4, rice_min5, rice_arg5 = {}, {}, {}, {}
     for po in porders:
         shape = (*lead, 1 << po)
-        rice_min4[po] = jnp.full(shape, INVALID)
+        rice_min4[po] = jnp.full(shape, invalid_s)
         rice_arg4[po] = jnp.zeros(shape, jnp.int32)
-        rice_min5[po] = jnp.full(shape, INVALID)
+        rice_min5[po] = jnp.full(shape, invalid_s)
         rice_arg5[po] = jnp.zeros(shape, jnp.int32)
 
-    kc = max(1, 4096 // nparts_max)
+    # Single-sample partitions (block 16384 at -r 14) get a CLOSED FORM
+    # instead of the k loop: bits(k) = (z>>k) + (k+1)·c is convex in k
+    # (its forward difference 1·c − [(z>>k) − (z>>(k+1))] is
+    # non-decreasing), so the tie-lowest argmin is the first k where the
+    # code stops shrinking — k* = b−2 if z>>(b−2) == 2 else b−1 for
+    # c = 1 (b = bitlen z), and k* = b for c = 0; the code-length cap is
+    # a lower clamp (first eligible k is ≤ b−1, always ≥ one exists).
+    # This replaces the hottest ~13 ms/batch update chain of the hi-res
+    # plan with one fused pass.
+    closed_fine = psize_fine == 1 and max_po in porders
+    if closed_fine:
+        z = zzr[..., 0]                          # [..., nparts] (= n)
+        zb = z.astype(sdt)
+        bl = (jnp.int32(jnp.iinfo(z.dtype).bits)
+              - jax.lax.clz(z).astype(jnp.int32))  # bitlen
+        c1 = (jnp.arange(nparts_max) != 0) | (order[..., None] == 0)
+        kstar = jnp.where(
+            c1,
+            jnp.where((bl >= 2)
+                      & ((zb >> jnp.maximum(bl - 2, 0)) == 2),
+                      bl - 2, jnp.maximum(bl - 1, 0)),
+            bl)
+        # smallest k with (z>>k) + k + 1 ≤ 32.  Eligibility is
+        # upward-closed in k, and no k < b−5 can be eligible
+        # (z>>(b−6) ≥ 32 already busts the cap), so testing candidates
+        # b−1 (always eligible for b ≤ 31) down to b−5 and keeping the
+        # smallest eligible is exact.
+        kmin_q = jnp.maximum(bl - 1, 0)
+        for cand in (2, 3, 4, 5):
+            kc_ = jnp.maximum(bl - cand, 0)
+            ok = (zb >> kc_) + kc_.astype(sdt) + 1 <= CODE_BITS_MAX
+            kmin_q = jnp.where(ok, kc_, kmin_q)
+        k5f = jnp.clip(kstar, kmin_q, kmax)
+        k4f = jnp.clip(kstar, kmin_q, n_k4 - 1)
+        cnt_f = c1.astype(sdt)
+        # explicit code-cap check at the chosen k (the partition's worst
+        # code IS its single value): covers magnitudes ≥ 2^31 (int64
+        # inputs) where no k ≤ kmax is eligible, and kmin > 14 for the
+        # 4-bit width
+        ok5 = (zb >> k5f) + k5f.astype(sdt) + 1 <= CODE_BITS_MAX
+        ok4 = (zb >> k4f) + k4f.astype(sdt) + 1 <= CODE_BITS_MAX
+        rice_min5[max_po] = jnp.where(
+            ok5, (zb >> k5f) + (k5f.astype(sdt) + 1) * cnt_f, invalid_s)
+        rice_arg5[max_po] = k5f
+        rice_min4[max_po] = jnp.where(
+            ok4, (zb >> k4f) + (k4f.astype(sdt) + 1) * cnt_f, invalid_s)
+        rice_arg4[max_po] = k4f
+
+    loop_pos = [po for po in porders
+                if not (closed_fine and po == max_po)]
+    kc = max(1, (8192 if i32 else 4096) // nparts_max)
     for k0 in range(0, kmax + 1, kc):
         k1 = min(k0 + kc, kmax + 1)
-        ks_c = jnp.arange(k0, k1, dtype=jnp.int64)
-        s = jnp.stack([jnp.sum(zzr >> k, axis=-1, dtype=jnp.int64)
+        ks_c = jnp.arange(k0, k1, dtype=sdt)
+        s = jnp.stack([jnp.sum(zzr >> k, axis=-1, dtype=sdt)
                        for k in range(k0, k1)], axis=-1)
         for po in range(max_po, -1, -1):
             if po < max_po:
                 s = s[..., 0::2, :] + s[..., 1::2, :]
-            if po not in porders:
+            if po not in loop_pos:
                 continue
             nparts = 1 << po
             psize = n >> po
             m = m_by_po[po]
             is_p0 = (jnp.arange(nparts) == 0)
             cnt = psize - order[..., None] * is_p0  # [..., nparts]
-            bits_pk = s + (ks_c + 1) * cnt[..., None].astype(jnp.int64)
+            bits_pk = s + (ks_c + 1) * cnt[..., None].astype(sdt)
             # code-length cap: only k whose worst code fits one word
-            q_ok = (m[..., None] >> ks_c) + ks_c + 1 <= CODE_BITS_MAX
-            bits_pk = jnp.where(q_ok, bits_pk, INVALID)
+            q_ok = (m[..., None] >> ks_c.astype(m.dtype)) \
+                + ks_c.astype(m.dtype) + 1 <= CODE_BITS_MAX
+            bits_pk = jnp.where(q_ok, bits_pk, invalid_s)
 
             cmin = jnp.min(bits_pk, axis=-1)
             carg = (k0 + jnp.argmin(bits_pk, axis=-1)).astype(jnp.int32)
@@ -176,6 +237,30 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
                 take4 = cmin4 < rice_min4[po]
                 rice_arg4[po] = jnp.where(take4, carg4, rice_arg4[po])
                 rice_min4[po] = jnp.minimum(cmin4, rice_min4[po])
+
+    # materialize the chunked min/argmin results ONCE: each has several
+    # consumers below (escape compare, totals, validity any-reduce), and
+    # without the barrier XLA happily duplicates the whole k-chunk
+    # where/min chain into every consumer fusion (~24 ms/batch at
+    # nparts 16384, profiled hi-res r4)
+    flat = []
+    for po in porders:
+        flat += [rice_min4[po], rice_arg4[po],
+                 rice_min5[po], rice_arg5[po]]
+    flat = list(jax.lax.optimization_barrier(tuple(flat)))
+    for i, po in enumerate(porders):
+        (rice_min4[po], rice_arg4[po],
+         rice_min5[po], rice_arg5[po]) = flat[4 * i: 4 * i + 4]
+    if i32:
+        # rejoin the int64 tail: remap the int32 invalid sentinel (every
+        # eligible int32 bits value is < 2^28, so the mapping is clean)
+        for po in porders:
+            rice_min4[po] = jnp.where(
+                rice_min4[po] >= invalid_s, INVALID,
+                rice_min4[po].astype(jnp.int64))
+            rice_min5[po] = jnp.where(
+                rice_min5[po] >= invalid_s, INVALID,
+                rice_min5[po].astype(jnp.int64))
 
     best_bits = jnp.full(lead, INVALID)
     best_po = jnp.zeros(lead, jnp.int32)

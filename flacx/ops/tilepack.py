@@ -47,17 +47,26 @@ def pack_frames_tiled(hdr_values: jnp.ndarray, hdr_lengths: jnp.ndarray,
     total_bits i32 [B])`` — byte-identical to the classic path.
 
     Caller-enforced gates: TPU backend, ``zz.dtype == int32``,
-    ``emit.blocked_layout_ok(n, psize_min)``, ``B % 128 == 0``,
+    ``emit.blocked_layout_ok(n, psize_min)`` OR
+    ``emit.segmented_layout(n, psize_min)`` non-None, ``B % 128 == 0``,
     ``C <= 2``, ``eff_bps <= 31``.
     """
     from flacx.kernels.bitpack_tile import (TILE, merge_strings_t,
                                             merge_tiles_t)
-    from flacx.kernels.emit_tile import LANES, emit_sample_tiles
+    from flacx.kernels.emit_tile import (LANES, emit_sample_tiles,
+                                         emit_sample_tiles_seg)
 
     b, c, n = x.shape
     grid_b = b // LANES
     nseg = n // psize_min
-    used = 40 + psize_min + (nseg - 1) * (psize_min + 8)
+    blocked = emit.blocked_layout_ok(n, psize_min)
+    if blocked:
+        seg_layout = None
+        used = 40 + psize_min + (nseg - 1) * (psize_min + 8)
+    else:
+        seg_layout = emit.segmented_layout(n, psize_min)
+        assert seg_layout is not None, "caller must gate on layout"
+        used = nseg * (psize_min + 1)
     k_tiles = -(-used // TILE)
 
     shv, shl = emit.subframe_header_symbols(kind, order, bps, x, taps,
@@ -68,6 +77,14 @@ def pack_frames_tiled(hdr_values: jnp.ndarray, hdr_lengths: jnp.ndarray,
     # esc_sample expansion chains are dead-code-eliminated by XLA
     kesc = (plan.k_seg.astype(jnp.int32)
             | (plan.esc_seg.astype(jnp.int32) << 7))
+    if seg_layout is not None:
+        chunk_segs, extra_idx, mult_idx = seg_layout
+        # on-grid params feed the kernel; OFF-grid head params (at most
+        # one nonzero — partition 0's, preceding the first nonzero
+        # sample) ride in each channel's header string below
+        pv_seg = pv[..., jnp.asarray(mult_idx)]
+        pl_seg = plv[..., jnp.asarray(mult_idx)]
+        extras = jnp.asarray(extra_idx) if extra_idx else None
 
     def hdr_tile(v, le):
         """[B, S<=TILE] symbol row → transposed tile [grid_b, TILE, LANES]."""
@@ -85,10 +102,19 @@ def pack_frames_tiled(hdr_values: jnp.ndarray, hdr_lengths: jnp.ndarray,
             hl = jnp.concatenate([hdr_lengths, shl[:, 0]], axis=-1)
         else:
             hv, hl = shv[:, ch], shl[:, ch]
+        if seg_layout is not None and extras is not None:
+            hv = jnp.concatenate([hv, pv[:, ch, extras]], axis=-1)
+            hl = jnp.concatenate([hl, plv[:, ch, extras]], axis=-1)
         ht_v, ht_l = hdr_tile(hv, hl)
-        ev, el = emit_sample_tiles(zz, x, kesc, pv, plv, kind, order,
-                                   bps, ch, psize_min,
-                                   interpret=interpret)
+        if blocked:
+            ev, el = emit_sample_tiles(zz, x, kesc, pv, plv, kind, order,
+                                       bps, ch, psize_min,
+                                       interpret=interpret)
+        else:
+            ev, el = emit_sample_tiles_seg(zz, x, kesc, pv_seg, pl_seg,
+                                           kind, order, bps, ch,
+                                           psize_min, chunk_segs,
+                                           interpret=interpret)
         groups_v += [ht_v, ev.reshape(grid_b * k_tiles, TILE, LANES)]
         groups_l += [ht_l, el.reshape(grid_b * k_tiles, TILE, LANES)]
 
@@ -121,11 +147,19 @@ def pack_frames_tiled(hdr_values: jnp.ndarray, hdr_lengths: jnp.ndarray,
 
     cap_words = max_frame_bytes // 4
     out_rows = min(s2 * TILE, (cap_words + 2 + 511) // 512 * 512)
-    # lane blocks must be 128-wide (or the whole lane dim): the working
-    # set at 128 lanes (~25 MB for 32×512-word strings) sits well under
-    # the raised VMEM budget
-    packed = merge_strings_t(wt, tbs, lanes=min(LANES, wt.shape[-1]),
-                             out_rows=out_rows, interpret=interpret)
+    # single-call upper merge holds the whole [rows, 128] stack (plus
+    # roll temporaries) in VMEM; for the tall stacks of segmented
+    # layouts (hi-res: 256 strings = 131072 rows = 67 MB input alone)
+    # switch to the level-by-level variant, which bounds VMEM per grid
+    # step at one string pair and streams levels through HBM
+    if wt.shape[1] * LANES * 4 * 3 > 80 * 1024 * 1024:
+        from flacx.kernels.bitpack_tile import merge_strings_t_leveled
+        packed = merge_strings_t_leveled(wt, tbs, out_rows=out_rows,
+                                         interpret=interpret)
+    else:
+        packed = merge_strings_t(wt, tbs,
+                                 lanes=min(LANES, wt.shape[-1]),
+                                 out_rows=out_rows, interpret=interpret)
 
     frame_words = packed.transpose(0, 2, 1).reshape(b, out_rows)
     frame_words = frame_words[:, :cap_words]

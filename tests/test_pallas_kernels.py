@@ -403,3 +403,237 @@ def test_pack_frames_tiled_matches_classic(rng):
             got_bytes[i, : got_nbytes[i]], want_bytes[i, : want_nbytes[i]],
             err_msg=f"frame {i}")
         assert not got_bytes[i, got_nbytes[i]:].any()
+
+
+def test_pack_frames_tiled_segmented_matches_classic(rng):
+    """The SEGMENTED tile-emit layout (psize_min < 40, here 1 — the
+    hi-res ``-r 14`` shape) must be byte-identical to the classic
+    emit→pack path."""
+    from flacx.ops import rice
+    from flacx.ops.bitpack import pack_symbols_words, words_to_bytes
+    from flacx.ops.emit import (KIND_CONSTANT, KIND_FIXED, KIND_LPC,
+                                KIND_VERBATIM, segmented_layout,
+                                subframe_symbols)
+    from flacx.ops.headers import frame_header_symbols
+    from flacx.ops.tilepack import pack_frames_tiled
+
+    b, c, n, t, prec = 128, 2, 256, 8, 5
+    porders = tuple(range(9))                 # psize_min = 1
+    psize_min = 1
+    assert segmented_layout(n, psize_min) is not None
+    kind = rng.integers(0, 4, size=(b, c)).astype(np.int32)
+    kind[0] = [KIND_CONSTANT, KIND_VERBATIM]
+    kind[1] = [KIND_FIXED, KIND_LPC]
+    order = np.where(kind == KIND_FIXED, rng.integers(0, 5, size=(b, c)),
+                     0).astype(np.int32)
+    order = np.where(kind == KIND_LPC,
+                     rng.integers(1, t + 1, size=(b, c)), order)
+    bps = rng.integers(8, 18, size=(b, c)).astype(np.int32)
+    x = rng.integers(-(1 << 15), 1 << 15, size=(b, c, n)).astype(np.int32)
+    x[0, 0] = 77
+    taps = rng.integers(-16, 16, size=(b, c, t)).astype(np.int32)
+    taps = taps * (np.arange(t) < order[..., None])
+    shift = np.where(kind == KIND_LPC,
+                     rng.integers(0, 15, size=(b, c)), 0).astype(np.int32)
+    wasted = np.zeros((b, c), np.int32)
+    res = rng.integers(-2000, 2000, size=(b, c, n)).astype(np.int32)
+    zz = np.asarray(rice.zigzag(jnp.asarray(res)))
+    zz = (zz * (np.arange(n) >= order[..., None])).astype(np.int32)
+    plan = rice.exact_plan(jnp.asarray(zz).astype(jnp.int64),
+                           jnp.asarray(order), porders, porders, 30)
+
+    indices = jnp.arange(b, dtype=jnp.int64) + 3
+    ch_code = jnp.full((b,), 2, jnp.int32)
+    hdr = frame_header_symbols(indices, ch_code, n)
+    max_bytes = (((16 * 8 + c * (8 + n * 18) + 64) // 8 + 2) + 127) \
+        // 128 * 128
+
+    ja = jnp.asarray
+    sv, sl = subframe_symbols(ja(kind), ja(order), ja(bps), ja(x), ja(taps),
+                              ja(shift), prec, ja(zz), plan, psize_min,
+                              wasted=ja(wasted))
+    sv, sl = sv.reshape(b, -1), sl.reshape(b, -1)
+    body = (jnp.sum(hdr.lengths, -1)
+            + jnp.sum(sl, -1, dtype=jnp.int64)).astype(jnp.int32)
+    pad = (-body) % 8
+    values = jnp.concatenate([hdr.values, sv,
+                              jnp.zeros((b, 1), jnp.uint32)], -1)
+    lengths = jnp.concatenate([hdr.lengths, sl, pad[:, None]], -1)
+    want_words, want_bits = pack_symbols_words(values, lengths, max_bytes,
+                                               use_tile_kernel=False)
+    want_nbytes = np.asarray(want_bits) // 8
+    want_bytes = np.asarray(words_to_bytes(want_words))
+
+    got_words, got_bits = pack_frames_tiled(
+        hdr.values, hdr.lengths, ja(kind), ja(order), ja(bps), ja(x),
+        ja(taps), ja(shift), prec, ja(zz), plan, ja(wasted), psize_min,
+        max_bytes, interpret=_interpret())
+    got_nbytes = (np.asarray(got_bits) + 7) // 8
+    got_bytes = np.asarray(words_to_bytes(got_words))
+
+    np.testing.assert_array_equal(got_nbytes, want_nbytes)
+    for i in range(b):
+        np.testing.assert_array_equal(
+            got_bytes[i, : got_nbytes[i]], want_bytes[i, : want_nbytes[i]],
+            err_msg=f"frame {i}")
+        assert not got_bytes[i, got_nbytes[i]:].any()
+
+
+def test_segmented_layout_gating():
+    """Chunking legality of the segmented layout across psize shapes."""
+    from flacx.ops.emit import segmented_layout
+
+    assert segmented_layout(16384, 1)[0] == 256      # hi-res -r 14
+    assert segmented_layout(16384, 8)[0] == 512      # -r 11
+    assert segmented_layout(4608, 9)[0] == 256       # 4608 at -r 9
+    assert segmented_layout(2048, 8) is None         # nseg 256 < chunk 512
+    assert segmented_layout(3584, 7) is None         # chunk width 448 % 128
+    assert segmented_layout(512, 512) is None        # n == psize_min
+
+
+def test_zigzag_residual_tiles_matches_xla(rng):
+    """Fused post-selection residual+zigzag kernel == the XLA chain
+    (fixed recompute / LPC / warmup mask / zigzag) it replaces."""
+    from flacx.kernels.lpcres_tile import zigzag_residual_tiles
+    from flacx.ops.lpc import predict_residual
+    from flacx.ops.rice import zigzag
+
+    b, c, n, t = 128, 2, 640, 12        # n a multiple of 128 (block gate)
+    x = rng.integers(-(1 << 15), 1 << 15, size=(b, c, n)).astype(np.int32)
+    order = rng.integers(0, t + 1, size=(b, c)).astype(np.int32)
+    taps = rng.integers(-16, 16, size=(b, c, t)).astype(np.int32)
+    taps[np.arange(t)[None, None, :] >= order[..., None]] = 0
+    shift = rng.integers(0, 15, size=(b, c)).astype(np.int32)
+    shift[order == 0] = 0
+
+    got = np.asarray(zigzag_residual_tiles(
+        jnp.asarray(x), jnp.asarray(taps), jnp.asarray(shift),
+        jnp.asarray(order), interpret=_interpret()))
+    res = predict_residual(jnp.asarray(x), jnp.asarray(taps),
+                           jnp.asarray(shift), jnp.int32)
+    i = jnp.arange(n, dtype=jnp.int32)
+    want = np.asarray(zigzag(res) * (i >= jnp.asarray(order)[..., None]))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_split_mac_stats_match_int64(rng):
+    """Two-limb split-int32 stats (hi-res widths) vs int64 reference:
+    identical eligibility on pathological lanes, exact lzz/maxabs on
+    every keepable lane."""
+    from flacx.kernels.lpcres_tile import (lpc_residual_stats,
+                                           split_mac_ok,
+                                           zigzag_residual_tiles)
+
+    r, n, t = 128, 1300, 32
+    assert split_mac_ok(25, 512) and not split_mac_ok(29, 512) \
+        and not split_mac_ok(25, 1 << 12)
+    x = rng.integers(-(1 << 24), 1 << 24, size=(r, n)).astype(np.int32)
+    taps = rng.integers(-16, 16, size=(r, t)).astype(np.int32)
+    order = rng.integers(1, t + 1, size=(r,)).astype(np.int32)
+    taps[np.arange(t)[None] >= order[:, None]] = 0
+    shift = rng.integers(0, 16, size=(r,)).astype(np.int32)
+    for i in range(16):              # pathological: max taps, no shift
+        taps[i, : order[i]] = 16 if i % 2 else -16
+        shift[i] = 0
+
+    x64 = x.astype(np.int64)
+    acc = np.zeros((r, n), np.int64)
+    for j in range(t):
+        lag = np.zeros_like(x64)
+        lag[:, j + 1:] = x64[:, : n - j - 1]
+        acc += taps[:, j: j + 1].astype(np.int64) * lag
+    res = x64 - (acc >> shift[:, None])
+    res[np.arange(n)[None] < order[:, None]] = 0
+    lzz_ref = ((res << 1) ^ (res >> 63)).sum(1)
+    mab_ref = np.minimum(np.abs(res).max(1), (1 << 31) - 1)
+
+    lzz, mab = lpc_residual_stats(jnp.asarray(x), jnp.asarray(taps),
+                                  jnp.asarray(shift), jnp.asarray(order),
+                                  split=True, interpret=_interpret())
+    lzz, mab = np.asarray(lzz), np.asarray(mab)
+    kept = mab_ref < (1 << 30)
+    assert kept.sum() > r // 2            # the test exercises both sides
+    np.testing.assert_array_equal(kept, mab < (1 << 30))
+    np.testing.assert_array_equal(lzz[kept], lzz_ref[kept])
+    np.testing.assert_array_equal(mab[kept], mab_ref[kept])
+
+    # chunked split zigzag-residual (hi-res n > 8192): exact wherever
+    # the encoder can select the lane
+    n2 = 10000
+    x2 = rng.integers(-(1 << 24), 1 << 24,
+                      size=(r, 1, n2)).astype(np.int32)
+    taps2 = rng.integers(-16, 16, size=(r, 1, t)).astype(np.int32)
+    order2 = rng.integers(1, t + 1, size=(r, 1)).astype(np.int32)
+    taps2[np.arange(t)[None, None] >= order2[..., None]] = 0
+    shift2 = rng.integers(8, 16, size=(r, 1)).astype(np.int32)
+    zz = np.asarray(zigzag_residual_tiles(
+        jnp.asarray(x2), jnp.asarray(taps2), jnp.asarray(shift2),
+        jnp.asarray(order2), split=True, interpret=_interpret()))
+    acc2 = np.zeros((r, 1, n2), np.int64)
+    x264 = x2.astype(np.int64)
+    for j in range(t):
+        lag = np.zeros_like(x264)
+        lag[..., j + 1:] = x264[..., : n2 - j - 1]
+        acc2 += taps2[..., j: j + 1].astype(np.int64) * lag
+    res2 = x264 - (acc2 >> shift2[..., None])
+    res2[np.broadcast_to(np.arange(n2), res2.shape)
+         < order2[..., None]] = 0
+    zz_ref = (res2 << 1) ^ (res2 >> 63)
+    ok = np.abs(res2).max(-1) < (1 << 30)
+    assert ok.all()                       # sane shifts: all selectable
+    np.testing.assert_array_equal(
+        zz[ok], zz_ref[ok].astype(np.int64)
+        .astype(np.uint32).astype(np.int32))
+
+
+def test_lpc_residual_stats_matches_full(rng):
+    """Stats-only lpcres variant (incl. 3D input) == full-kernel stats."""
+    from flacx.kernels.lpcres_tile import (lpc_residual_stats,
+                                           lpc_residual_tiles)
+
+    b, v, n, t = 32, 4, 520, 8
+    x = rng.integers(-(1 << 15), 1 << 15, size=(b, v, n)).astype(np.int32)
+    order = rng.integers(1, t + 1, size=(b * v,)).astype(np.int32)
+    taps = rng.integers(-16, 16, size=(b * v, t)).astype(np.int32)
+    taps[np.arange(t)[None, :] >= order[:, None]] = 0
+    shift = rng.integers(0, 15, size=(b * v,)).astype(np.int32)
+
+    _, lzz_want, mab_want = lpc_residual_tiles(
+        jnp.asarray(x.reshape(-1, n)), jnp.asarray(taps),
+        jnp.asarray(shift), jnp.asarray(order), interpret=_interpret())
+    lzz, mab = lpc_residual_stats(
+        jnp.asarray(x), jnp.asarray(taps), jnp.asarray(shift),
+        jnp.asarray(order), interpret=_interpret())
+    np.testing.assert_array_equal(np.asarray(lzz).ravel(),
+                                  np.asarray(lzz_want))
+    np.testing.assert_array_equal(np.asarray(mab).ravel(),
+                                  np.asarray(mab_want))
+
+
+def test_autocorr_tiled_int32_3d_matches_f32(rng):
+    """int32 + 3D input converts in-kernel; equals the f32 2D path."""
+    from flacx.kernels.autocorr_tile import autocorr_tiled
+
+    b, v, n = 32, 4, 700
+    x = rng.integers(-(1 << 15), 1 << 15, size=(b, v, n)).astype(np.int32)
+    win = (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)) \
+        .astype(np.float32)
+    got = np.asarray(autocorr_tiled(jnp.asarray(x), 8,
+                                    window=jnp.asarray(win),
+                                    interpret=_interpret()))
+    want = np.asarray(autocorr_tiled(
+        jnp.asarray(x.reshape(-1, n).astype(np.float32)), 8,
+        window=jnp.asarray(win), interpret=_interpret()))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_fixed_order_sums_3d_matches_2d(rng):
+    from flacx.kernels.zzsum_tile import fixed_order_sums
+
+    b, v, n = 32, 4, 530
+    x = rng.integers(-(1 << 15), 1 << 15, size=(b, v, n)).astype(np.int32)
+    got = np.asarray(fixed_order_sums(jnp.asarray(x),
+                                      interpret=_interpret()))
+    want = np.asarray(fixed_order_sums(jnp.asarray(x.reshape(-1, n)),
+                                       interpret=_interpret()))
+    np.testing.assert_array_equal(got, want)
