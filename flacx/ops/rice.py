@@ -203,14 +203,55 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
 
     loop_pos = [po for po in porders
                 if not (closed_fine and po == max_po)]
-    kc = max(1, (8192 if i32 else 4096) // nparts_max)
-    for k0 in range(0, kmax + 1, kc):
+    # fold levels the closed form already covered into the k-loop's
+    # reduction: summing zzr at the coarsest level the loop still needs
+    # skips the [..., nparts_max, kc] stack and its first halving pass
+    # per k (~1 ms/batch at block 16384, profiled hi-res r4)
+    loop_max = max(loop_pos) if loop_pos else -1
+    zzr_loop = (zzr if loop_max == max_po else
+                zzr.reshape(*lead, max(1 << loop_max, 1),
+                            n >> max(loop_max, 0)))
+    kmajor = loop_pos and (1 << loop_max) >= 512
+    if kmajor:
+        # K-MAJOR formulation for many-partition searches: one
+        # [..., K, nparts] sums tensor per level with k on SUBLANES and
+        # partitions on LANES, so every op runs in the natural tile
+        # layout and min/argmin over k is a sublane reduce.  The k-minor
+        # chunk loop below put k (≤ 15 wide) on lanes — 8.5× lane waste —
+        # and its per-chunk running-min update chains cost ~3 ms/batch
+        # at block 16384 (profiled hi-res r4).
+        ks_all = jnp.arange(kmax + 1, dtype=sdt)
+        s = jnp.sum(zzr_loop[..., None, :, :]
+                    >> ks_all[:, None, None].astype(zzr_loop.dtype),
+                    axis=-1, dtype=sdt)            # [..., K, nparts_lm]
+        for po in range(loop_max, -1, -1):
+            if po < loop_max:
+                s = s[..., 0::2] + s[..., 1::2]
+            if po not in loop_pos:
+                continue
+            nparts = 1 << po
+            psize = n >> po
+            m = m_by_po[po]
+            is_p0 = (jnp.arange(nparts) == 0)
+            cnt = psize - order[..., None] * is_p0      # [..., nparts]
+            bits_pk = (s + (ks_all[:, None] + 1)
+                       * cnt[..., None, :].astype(sdt))  # [..., K, np]
+            q_ok = ((m[..., None, :] >> ks_all[:, None].astype(m.dtype))
+                    + ks_all[:, None].astype(m.dtype) + 1 <= CODE_BITS_MAX)
+            bits_pk = jnp.where(q_ok, bits_pk, invalid_s)
+            rice_min5[po] = jnp.min(bits_pk, axis=-2)
+            rice_arg5[po] = jnp.argmin(bits_pk, axis=-2).astype(jnp.int32)
+            sub = bits_pk[..., :n_k4, :]
+            rice_min4[po] = jnp.min(sub, axis=-2)
+            rice_arg4[po] = jnp.argmin(sub, axis=-2).astype(jnp.int32)
+    kc = max(1, (8192 if i32 else 4096) // max(1 << loop_max, 1))
+    for k0 in range(0, (kmax + 1) if (loop_pos and not kmajor) else 0, kc):
         k1 = min(k0 + kc, kmax + 1)
         ks_c = jnp.arange(k0, k1, dtype=sdt)
-        s = jnp.stack([jnp.sum(zzr >> k, axis=-1, dtype=sdt)
+        s = jnp.stack([jnp.sum(zzr_loop >> k, axis=-1, dtype=sdt)
                        for k in range(k0, k1)], axis=-1)
-        for po in range(max_po, -1, -1):
-            if po < max_po:
+        for po in range(loop_max, -1, -1):
+            if po < loop_max:
                 s = s[..., 0::2, :] + s[..., 1::2, :]
             if po not in loop_pos:
                 continue
@@ -352,8 +393,6 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     start_param = jnp.zeros((*lead, p_cnt), bool)
     esc_param = jnp.zeros((*lead, p_cnt), bool)
     nseg = 1 << max_po
-    k_seg = jnp.zeros((*lead, nseg), jnp.int8)
-    esc_seg = jnp.zeros((*lead, nseg), bool)
     for po in porders:
         nparts = 1 << po
         psize = n >> po
@@ -376,16 +415,41 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
         k_param = jnp.where(here, args[..., part_of], k_param)
         esc_param = jnp.where(here, escs[..., part_of], esc_param)
 
-        # finest-grid copy: segment s of 2^max_po lies in partition
-        # s >> (max_po - po) (static index — no gathers from [..., n])
-        seg_of = jnp.asarray(
-            np.arange(nseg, dtype=np.int32) >> (max_po - po), jnp.int32)
-        k_seg = jnp.where(here, args[..., seg_of], k_seg)
-        esc_seg = jnp.where(here, escs[..., seg_of], esc_seg)
         sp = ((jnp.asarray(np_ppos % psize == 0)
                & jnp.asarray(np_ppos > 0))
               | (jnp.asarray(np_ppos) == order[..., None]))
         start_param = jnp.where(here, sp, start_param)
+
+    # Finest-grid (segment) copies, built HIERARCHICALLY: walk orders
+    # coarse→fine, upsampling the working grid by broadcast-reshape and
+    # overriding where that order won.  Total traffic ≈ 2·nseg per
+    # channel instead of len(porders)·nseg — the 15 independent
+    # [..., nseg] expansions cost ~1.6 ms/batch at block 16384
+    # (profiled hi-res r4).
+    k_seg = jnp.zeros((*lead, 1), jnp.int8)
+    esc_seg = jnp.zeros((*lead, 1), bool)
+    cur_po = 0
+    for po in sorted(porders):
+        if po > cur_po:
+            f = 1 << (po - cur_po)
+            up = (*lead, k_seg.shape[-1], f)
+            k_seg = jnp.broadcast_to(k_seg[..., None], up
+                                     ).reshape(*lead, 1 << po)
+            esc_seg = jnp.broadcast_to(esc_seg[..., None], up
+                                       ).reshape(*lead, 1 << po)
+            cur_po = po
+        w4 = (best_width == 4)[..., None]
+        args = jnp.where(w4, k4_levels[po], k5_levels[po]).astype(jnp.int8)
+        escs = jnp.where(w4, e4_levels[po], e5_levels[po])
+        here = (best_po == po)[..., None]
+        k_seg = jnp.where(here, args, k_seg)
+        esc_seg = jnp.where(here, escs, esc_seg)
+    if cur_po < max_po:
+        f = 1 << (max_po - cur_po)
+        up = (*lead, k_seg.shape[-1], f)
+        k_seg = jnp.broadcast_to(k_seg[..., None], up).reshape(*lead, nseg)
+        esc_seg = jnp.broadcast_to(esc_seg[..., None], up
+                                   ).reshape(*lead, nseg)
 
     return RicePlan(bits=best_bits, porder=best_po, width=best_width,
                     k_sample=k_sample, param_start=param_start,
