@@ -40,10 +40,13 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
                wasted_bits: bool = False,
                exact_order_search: bool = False,
                show_stats: bool = False, best: bool = False,
-               escapes: bool = True) -> None:
+               escapes: bool = True,
+               apodization: str = "tukey(0.5)") -> None:
     from flacx import pipeline
     from flacx.wavio import read_wav, read_wav_chunks, wav_info
 
+    windows = tuple(w for w in apodization.replace(";", ",").split(",")
+                    if w.strip())
     sample_rate, bps, channels, total = wav_info(path_in)
     if sample_rate <= 48_000 and max_lpc_order > 12:
         raise SystemExit(
@@ -51,6 +54,9 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
 
     time_start = timer()
     if best:
+        if apodization == "tukey(0.5)":
+            # --best defaults to the multi-window sweep unless -A is given
+            windows = ("tukey(0.5)", "hann", "flattop")
         # the block-size sweep needs the whole file resident anyway
         *_, pcm = read_wav(path_in)
         with path_out.open("wb") as f:
@@ -60,7 +66,7 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
                 qlp_precision=qlp_coeffs_precision,
                 partition_orders=tuple(rice_partition_order),
                 batch_frames=batch_frames, stereo=stereo,
-                wasted_bits=wasted_bits)
+                wasted_bits=wasted_bits, windows=windows)
         time_end = timer()
         delta = "{0:.6g}".format(time_end - time_start)
         print(f"Encoding completed in {delta} seconds")
@@ -81,7 +87,7 @@ def cmd_encode(path_in: Path, path_out: Path, block_size: int,
             batch_frames=batch_frames, stereo=stereo, device=device,
             wasted_bits=wasted_bits, escapes=escapes,
             order_search="exact" if exact_order_search else "estimate",
-            collect_stats=show_stats)
+            collect_stats=show_stats, windows=windows)
     time_end = timer()
 
     delta = "{0:.6g}".format(time_end - time_start)
@@ -227,6 +233,14 @@ def make_argument_parser() -> ArgumentParser:
         help="Evaluate every LPC order's true integer residual instead of "
              "ranking by prediction error (best compression, slower).")
     encode.add_argument(
+        "-A", "--apodization", default="tukey(0.5)", metavar="W[;W...]",
+        help="LPC analysis apodization window(s), semicolon- or "
+             "comma-separated (tukey(P), hann, rectangle, triangle, "
+             "welch, blackman, nuttall, flattop, gauss(S)).  With "
+             "several, the best window is chosen per frame/channel/"
+             "order by predicted residual size (the reference hardcodes "
+             "tukey(0.5)).")
+    encode.add_argument(
         "--wasted-bits", action="store_true",
         help="Strip shared trailing zero bits per subframe (spec-correct "
              "and smaller, but the reference decoder cannot read such "
@@ -308,7 +322,7 @@ def main(argv: list[str] | None = None) -> None:
                    args.rice_partition_order, args.batch_frames,
                    args.stereo, not args.no_device,
                    args.wasted_bits, args.exact_order_search, args.stats,
-                   args.best, not args.no_escapes)
+                   args.best, not args.no_escapes, args.apodization)
 
 
 if __name__ == "__main__":

@@ -39,10 +39,10 @@ from flacx.ops.bitpack import pack_symbols_words, words_to_bytes
 from flacx.ops.crcfold import crc16_over_word_rows
 from flacx.ops.fixedpred import fixed_order_zz_sums
 from flacx.ops.headers import frame_header_symbols
-from flacx.ops.lpc import (autocorrelate, levinson_all_orders,
-                           lpc_residuals_all, predict_residual,
-                           predict_residual_fused, quantize_all_orders,
-                           tukey_window_np)
+from flacx.ops.lpc import (apodization_window_np, autocorrelate,
+                           levinson_all_orders, lpc_residuals_all,
+                           predict_residual, predict_residual_fused,
+                           quantize_all_orders)
 
 _INF = jnp.int64(1) << 50
 
@@ -122,6 +122,13 @@ class EncoderConfig:
     #: crashes on such streams) and out-of-the-box interop with it is a
     #: compatibility goal.
     wasted_bits: bool = False
+    #: LPC apodization window candidates (libFLAC-style ``-A`` names,
+    #: see :func:`flacx.ops.lpc.apodization_window_np`).  The reference
+    #: hardcodes Tukey(0.5) (flac/encoder.py:423-440); with several
+    #: windows flacx analyses each and keeps, per (frame, channel,
+    #: order), the window whose quantized predictor yields the smallest
+    #: predicted residual — a standard compression lever beyond parity.
+    windows: tuple[str, ...] = ("tukey(0.5)",)
     #: Reference-conformance mode: reproduce the reference encoder's
     #: parameter choices exactly (magnitude-heuristic selection,
     #: CPython-sequenced f64 analysis, mean-estimate Rice parameters,
@@ -135,6 +142,14 @@ class EncoderConfig:
             object.__setattr__(self, "stereo", "independent")
             object.__setattr__(self, "escapes", False)
             object.__setattr__(self, "wasted_bits", False)
+            object.__setattr__(self, "windows", ("tukey(0.5)",))
+        if isinstance(self.windows, str):          # accept a lone name
+            object.__setattr__(self, "windows", (self.windows,))
+        if not self.windows:
+            raise ValueError("windows must name at least one window")
+        from flacx.ops.lpc import apodization_window_np
+        for w in self.windows:
+            apodization_window_np(w, 64)           # validate eagerly
         if self.order_search not in ("estimate", "exact"):
             raise ValueError("order_search must be 'estimate' or 'exact'")
         if self.analysis_dtype not in ("auto", "f32", "f64"):
@@ -328,27 +343,70 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
            or (cfg.analysis_dtype == "auto" and cfg.order_search == "exact")
            else jnp.float32)
     if p:
-        # windowed signal (f32 by default — halves analysis traffic; f64
-        # under exact/auto for reference-grade coefficient choices); the
-        # autocorr accumulation and Levinson recursion are always f64
-        w32 = jnp.asarray(tukey_window_np(n).astype(adt))
-        # f32 analysis hands the kernel the raw int32 signal — the f32
-        # conversion happens in VMEM (no [B, V, N] f32 copy in HBM)
-        autoc = autocorrelate(x_v if adt == jnp.float32
-                              else x_v.astype(adt), p, window=w32)
-        taps_f, lpc_err, valid_ld = levinson_all_orders(autoc, p)
-        # Levinson-Durbin returns the ANALYSIS polynomial a[1:] (error
-        # filter e = Σ a_j·x[i-j]); the PREDICTION coefficients for
-        # x̂[i] = Σ c_j·x[i-1-j] are their negation.  The reference uses
-        # a[1:] unnegated (flac/encoder.py:374-390,479), a sign defect
-        # that makes its LPC residuals ~larger than the signal, so LPC
-        # essentially never wins its fixed-vs-LPC comparison — measured
-        # here: negation shrinks LPC-8 residual magnitudes ~200× on
-        # tonal content and beats the best fixed order ~9×.  The
-        # conformance mode (flacx/conformance.py) keeps the reference's
-        # sign for byte-compat; this production path predicts correctly.
-        qcoefs, qshifts, valid_q = quantize_all_orders(-taps_f, prec)
-        lpc_valid = valid_ld & valid_q                          # [B,V,P]
+        # Per-window LPC analysis (windowing = elementwise mul; f32 by
+        # default — halves analysis traffic; f64 under exact/auto for
+        # reference-grade coefficient choices; the autocorr accumulation
+        # and Levinson recursion are always f64).  With several windows
+        # (cfg.windows, the libFLAC -A lever — the reference hardcodes
+        # Tukey(0.5), flac/encoder.py:423-440) the candidates merge
+        # ELEMENTWISE per (frame, channel, order) on the predicted
+        # residual-magnitude ranking, so everything downstream sees one
+        # best-of-windows candidate set and is window-agnostic.
+        lcounts = (n - cand_orders[5:]).astype(jnp.int64)
+        qcoefs = qshifts = lpc_valid = lzz_sum = lres = wrank = None
+        for wname in cfg.windows:
+            wnp = apodization_window_np(wname, n)
+            w32 = jnp.asarray(wnp.astype(adt))
+            # f32 analysis hands the kernel the raw int32 signal — the
+            # f32 conversion happens in VMEM (no [B,V,N] f32 HBM copy)
+            autoc = autocorrelate(x_v if adt == jnp.float32
+                                  else x_v.astype(adt), p, window=w32)
+            taps_f, lpc_err, valid_ld = levinson_all_orders(autoc, p)
+            # Levinson-Durbin returns the ANALYSIS polynomial a[1:]
+            # (error filter e = Σ a_j·x[i-j]); the PREDICTION
+            # coefficients for x̂[i] = Σ c_j·x[i-1-j] are their
+            # negation.  The reference uses a[1:] unnegated
+            # (flac/encoder.py:374-390,479), a sign defect that makes
+            # its LPC residuals ~larger than the signal, so LPC
+            # essentially never wins its fixed-vs-LPC comparison —
+            # measured here: negation shrinks LPC-8 residual magnitudes
+            # ~200× on tonal content and beats the best fixed order
+            # ~9×.  The conformance mode (flacx/conformance.py) keeps
+            # the reference's sign for byte-compat; this production
+            # path predicts correctly.
+            qcoefs_w, qshifts_w, valid_q = quantize_all_orders(-taps_f,
+                                                               prec)
+            lpc_valid_w = valid_ld & valid_q                    # [B,V,P]
+            if cfg.order_search == "exact":
+                lres_w = lpc_residuals_all(x_v, qcoefs_w, qshifts_w,
+                                           cfg.lpc_acc_dtype)  # [B,V,P,N]
+                lmask = i_pos >= cand_orders[5:, None]
+                lzz_sum_w = jnp.sum(rice.zigzag(lres_w) * lmask, axis=-1,
+                                    dtype=jnp.int64)
+            else:
+                lres_w = None
+                # the error power is in the windowed domain; undo the
+                # window's average power so fixed (unwindowed) and LPC
+                # estimates compare, and so different windows compare
+                win_pow = float(np.mean(wnp ** 2))
+                sigma = jnp.sqrt(jnp.maximum(lpc_err, 0.0) / (n * win_pow))
+                mean_abs = jnp.sqrt(2.0 / jnp.pi) * sigma
+                lzz_sum_w = (2.0 * mean_abs * lcounts).astype(jnp.int64)
+            # ranking basis: predicted zigzag magnitude sum (estimate_bits
+            # is monotone in it at fixed count), invalid candidates last
+            wrank_w = jnp.where(lpc_valid_w, lzz_sum_w, _INF)
+            if qcoefs is None:
+                qcoefs, qshifts, lpc_valid = qcoefs_w, qshifts_w, lpc_valid_w
+                lzz_sum, lres, wrank = lzz_sum_w, lres_w, wrank_w
+            else:
+                bet = wrank_w < wrank
+                wrank = jnp.where(bet, wrank_w, wrank)
+                lzz_sum = jnp.where(bet, lzz_sum_w, lzz_sum)
+                lpc_valid = bet & lpc_valid_w | ~bet & lpc_valid
+                qshifts = jnp.where(bet, qshifts_w, qshifts)
+                qcoefs = jnp.where(bet[..., None], qcoefs_w, qcoefs)
+                if lres is not None:
+                    lres = jnp.where(bet[..., None], lres_w, lres)
     else:
         qcoefs = jnp.zeros((b, nv, 1, 1), jnp.int32)
         qshifts = jnp.zeros((b, nv, 1), jnp.int32)
@@ -366,24 +424,12 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     fest = (rice.estimate_bits(fzz_sum, fcounts, cfg.kmax)
             + 8 + over_warm[..., :5])
 
-    if p and cfg.order_search == "exact":
-        lres = lpc_residuals_all(x_v, qcoefs, qshifts,
-                                 cfg.lpc_acc_dtype)             # [B,V,P,N]
-        lmask = i_pos >= cand_orders[5:, None]
-        lzz_sum = jnp.sum(rice.zigzag(lres) * lmask, axis=-1,
-                          dtype=jnp.int64)
-        lcounts = (n - cand_orders[5:]).astype(jnp.int64)
-        lest = rice.estimate_bits(lzz_sum, lcounts, cfg.kmax)
-    elif p:
-        lcounts = (n - cand_orders[5:]).astype(jnp.int64)
-        # the error power is in the windowed domain; undo the window's
-        # average power so fixed (unwindowed) and LPC estimates compare
-        win_pow = float(np.mean(tukey_window_np(n) ** 2))
-        sigma = jnp.sqrt(jnp.maximum(lpc_err, 0.0) / (n * win_pow))
-        mean_abs = jnp.sqrt(2.0 / jnp.pi) * sigma
-        lzz_sum = (2.0 * mean_abs * lcounts).astype(jnp.int64)
-        lest = rice.estimate_bits(lzz_sum, lcounts, cfg.kmax)
     if p:
+        # lzz_sum is the merged best-of-windows predicted magnitude sum
+        # per (frame, channel, order) — exact sums in "exact" mode,
+        # Levinson-error-mapped in "estimate" mode (computed per window
+        # in the analysis loop above)
+        lest = rice.estimate_bits(lzz_sum, lcounts, cfg.kmax)
         lest = (lest + 8 + over_warm[..., 5:]
                 + 9 + cand_orders[5:].astype(jnp.int64) * prec)
         lest = jnp.where(lpc_valid, lest, _INF)

@@ -31,6 +31,65 @@ def tukey_window_np(n: int, r: float = 0.5) -> np.ndarray:
     return np.asarray(tukey_window(n, r), dtype=np.float64)
 
 
+@lru_cache(maxsize=None)
+def apodization_window_np(name: str, n: int) -> np.ndarray:
+    """Apodization window constants by libFLAC-style name (f64, host).
+
+    The reference hardcodes Tukey(0.5) (flac/encoder.py:423-440, itself a
+    port of libFLAC's ``FLAC__window_tukey``); flacx accepts a window LIST
+    per libFLAC's ``-A`` and picks the best per (frame, channel, order) by
+    predicted residual size.  Supported: ``tukey(P)`` (default P=0.5),
+    ``hann``, ``rectangle``, ``triangle``, ``welch``, ``blackman``,
+    ``nuttall``, ``flattop``, ``gauss(STDDEV)`` — the libFLAC formulas
+    over ``N-1``.
+
+    >>> bool(np.all(apodization_window_np("rectangle", 4) == 1.0))
+    True
+    >>> np.allclose(apodization_window_np("tukey(0.5)", 64),
+    ...             tukey_window_np(64))
+    True
+    """
+    import re
+
+    m = re.fullmatch(r"([a-z_]+)(?:\(([^()]*)\))?", name.strip().lower())
+    if not m:
+        raise ValueError(f"bad apodization window {name!r}")
+    kind, arg = m.group(1), m.group(2)
+    i = np.arange(n, dtype=np.float64)
+    d = max(n - 1, 1)
+    if kind == "tukey":
+        return tukey_window_np(n, float(arg) if arg else 0.5)
+    if arg is not None and kind != "gauss":
+        raise ValueError(f"window {kind!r} takes no parameter")
+    if kind == "rectangle":
+        return np.ones(n, np.float64)
+    if kind == "hann":
+        return 0.5 - 0.5 * np.cos(2.0 * np.pi * i / d)
+    if kind == "triangle":
+        return 1.0 - np.abs(2.0 * i - d) / d
+    if kind == "welch":
+        t = (2.0 * i - d) / d
+        return 1.0 - t * t
+    if kind == "blackman":
+        x = 2.0 * np.pi * i / d
+        return 0.42 - 0.5 * np.cos(x) + 0.08 * np.cos(2.0 * x)
+    if kind == "nuttall":
+        x = 2.0 * np.pi * i / d
+        return (0.3635819 - 0.4891775 * np.cos(x)
+                + 0.1365995 * np.cos(2.0 * x) - 0.0106411 * np.cos(3.0 * x))
+    if kind == "flattop":
+        x = 2.0 * np.pi * i / d
+        return (1.0 - 1.93 * np.cos(x) + 1.29 * np.cos(2.0 * x)
+                - 0.388 * np.cos(3.0 * x) + 0.0322 * np.cos(4.0 * x))
+    if kind == "gauss":
+        s = float(arg) if arg else 0.25
+        if not 0.0 < s <= 0.5:
+            raise ValueError("gauss stddev must be in (0, 0.5]")
+        t = (2.0 * i - d) / d
+        return np.exp(-0.5 * (t / s) ** 2)
+    raise ValueError(f"unknown apodization window {kind!r}")
+
+
 def autocorrelate(w: jnp.ndarray, max_lag: int,
                   use_tile_kernel: bool | None = None,
                   window: jnp.ndarray | None = None) -> jnp.ndarray:

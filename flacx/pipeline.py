@@ -43,6 +43,7 @@ def encode_chunks_to_file(f: BinaryIO, chunks, *, sample_rate: int,
                           escapes: bool = True,
                           order_search: str = "estimate", sharding=None,
                           collect_stats: bool = False,
+                          windows: tuple[str, ...] = ("tukey(0.5)",),
                           conformance: bool = False) -> dict:
     """Constant-memory encode of a PCM chunk stream into ``f`` (seekable).
 
@@ -94,7 +95,8 @@ def encode_chunks_to_file(f: BinaryIO, chunks, *, sample_rate: int,
             block_size=block_size, max_lpc_order=max_lpc_order,
             qlp_precision=qlp_precision, partition_orders=partition_orders,
             stereo=stereo, wasted_bits=wasted_bits, escapes=escapes,
-            order_search=order_search, conformance=conformance)
+            order_search=order_search, windows=windows,
+            conformance=conformance)
         enc = BatchEncoder(cfg, batch_frames=batch_frames, sharding=sharding)
         writer.write_frames(enc.encode_frame_stream(
             full_block_batches(), 0, stats=run_stats))
@@ -135,6 +137,7 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
                    wasted_bits: bool = False, escapes: bool = True,
                    order_search: str = "estimate",
                    sharding=None, collect_stats: bool = False,
+                   windows: tuple[str, ...] = ("tukey(0.5)",),
                    conformance: bool = False) -> dict:
     """Encode interleaved PCM ``[frames, channels]`` into ``f`` (seekable).
 
@@ -149,7 +152,8 @@ def encode_to_file(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int,
         total_samples=pcm.shape[0], batch_frames=batch_frames,
         stereo=stereo, device=device, wasted_bits=wasted_bits,
         escapes=escapes, order_search=order_search, sharding=sharding,
-        collect_stats=collect_stats, conformance=conformance)
+        collect_stats=collect_stats, windows=windows,
+        conformance=conformance)
 
 
 def encode_best(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int, bps: int,
@@ -158,11 +162,15 @@ def encode_best(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int, bps: int,
                 max_lpc_order: int = 12, qlp_precision: int = 5,
                 partition_orders: tuple[int, ...] = (0, 1, 2, 3, 4, 5),
                 batch_frames: int = 256, stereo: str = "auto",
-                wasted_bits: bool = False) -> dict:
+                wasted_bits: bool = False,
+                windows: tuple[str, ...] = ("tukey(0.5)", "hann",
+                                            "flattop")) -> dict:
     """Best-compression sweep (BASELINE configs[4]): encode the file at
-    every candidate block size with exact per-order search and keep the
-    smallest result.  Each candidate is a full device-batched encode; the
-    winner's bytes are written to ``f``.
+    every candidate block size with exact per-order search — and, beyond
+    the reference's hardcoded Tukey(0.5) (flac/encoder.py:423-440), a
+    multi-window apodization sweep per (frame, channel, order) — and keep
+    the smallest result.  Each candidate is a full device-batched encode;
+    the winner's bytes are written to ``f``.
     """
     import io as _io
 
@@ -174,7 +182,8 @@ def encode_best(f: BinaryIO, pcm: np.ndarray, *, sample_rate: int, bps: int,
             block_size=bs, max_lpc_order=max_lpc_order,
             qlp_precision=qlp_precision, partition_orders=partition_orders,
             batch_frames=batch_frames, stereo=stereo,
-            wasted_bits=wasted_bits, order_search="exact")
+            wasted_bits=wasted_bits, order_search="exact",
+            windows=windows)
         if best is None or stats["bytes_out"] < best[1]["bytes_out"]:
             best = (buf.getvalue(), stats, bs)
     f.write(best[0])
