@@ -239,7 +239,8 @@ def make_argument_parser() -> ArgumentParser:
              "welch, blackman, nuttall, flattop, gauss(S)).  With "
              "several, the best window is chosen per frame/channel/"
              "order by predicted residual size (the reference hardcodes "
-             "tukey(0.5)).")
+             "tukey(0.5)).  Ranking is exact under --exact-order-search; "
+             "the default estimate ranking picks well but is heuristic.")
     encode.add_argument(
         "--wasted-bits", action="store_true",
         help="Strip shared trailing zero bits per subframe (spec-correct "
