@@ -264,6 +264,9 @@ def make_argument_parser() -> ArgumentParser:
                         default=DEFAULT_RICE_PARTITION_ORDER,
                         metavar="[M,]N")
     corpus.add_argument("--batch-frames", type=int, default=512, metavar="N")
+    corpus.add_argument("-A", "--apodization", default="tukey(0.5)",
+                        metavar="W[;W...]",
+                        help="LPC apodization window(s), as in encode -A.")
     corpus.add_argument("--stereo", choices=("auto", "independent"),
                         default="auto")
     corpus.add_argument(
@@ -286,6 +289,8 @@ def cmd_encode_corpus(args) -> None:
         qlp_precision=args.qlp_coeff_precision,
         partition_orders=tuple(args.rice_partition_order),
         batch_frames=args.batch_frames, stereo=args.stereo,
+        windows=tuple(w for w in args.apodization.replace(";", ",")
+                      .split(",") if w.strip()),
         resume=args.resume)
     delta = timer() - time_start
     ratio = result.bytes_out / max(result.bytes_in, 1)

@@ -108,6 +108,7 @@ def encode_corpus(paths: Sequence[Path | str], out_dir: Path | str, *,
                   qlp_precision: int = 5,
                   partition_orders: tuple[int, ...] = (0, 1, 2, 3, 4, 5),
                   batch_frames: int = 128, stereo: str = "auto",
+                  windows: tuple[str, ...] = ("tukey(0.5)",),
                   sharding=None, resume: bool = False,
                   manifest_suffix: str = "") -> CorpusResult:
     """Encode many WAV files with globally batched device dispatches.
@@ -178,7 +179,7 @@ def encode_corpus(paths: Sequence[Path | str], out_dir: Path | str, *,
             sample_rate=sr, bps=bps, channels=ch, block_size=block_size,
             max_lpc_order=eff_order,
             qlp_precision=qlp_precision, partition_orders=partition_orders,
-            stereo=stereo)
+            stereo=stereo, windows=windows)
         enc = BatchEncoder(cfg, batch_frames=batch_frames, sharding=sharding)
 
         # global (file, frame) work list over FULL blocks
