@@ -41,6 +41,8 @@ CONFIG_POOL = (
     dict(block_size=512, max_lpc_order=12, bps=16, stereo="independent"),
     dict(block_size=384, max_lpc_order=4, bps=16, escapes=False),
     dict(block_size=256, max_lpc_order=6, bps=24),
+    dict(block_size=256, max_lpc_order=8, bps=16,
+         windows=("tukey(0.5)", "hann", "flattop")),
 )
 
 PCM_KINDS = ("tonal", "noise", "impulse", "silence")
