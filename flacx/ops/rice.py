@@ -221,25 +221,31 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
         # and its per-chunk running-min update chains cost ~3 ms/batch
         # at block 16384 (profiled hi-res r4).
         ks_all = jnp.arange(kmax + 1, dtype=sdt)
-        psize_lm = zzr_loop.shape[-1]
-        if psize_lm <= 4:
-            # explicit slice adds: one fusion producing [..., K, nparts]
-            # straight in the K-sublane/nparts-lane layout (the size-2
-            # minor-axis reduce variant made XLA pick an nparts-major
-            # producer layout + two 0.8 ms relayout copies, profiled
-            # hi-res r4)
-            s = None
-            for j in range(psize_lm):
-                tj = (zzr_loop[..., j][..., None, :]
-                      >> ks_all[:, None].astype(zzr_loop.dtype)
-                      ).astype(sdt)
-                s = tj if s is None else s + tj
-        else:
-            s = jnp.sum(zzr_loop[..., None, :, :]
-                        >> ks_all[:, None, None].astype(zzr_loop.dtype),
-                        axis=-1, dtype=sdt)        # [..., K, nparts_lm]
+        zzf = zzr.reshape(*lead, n)
+        s = None
         for po in range(loop_max, -1, -1):
-            if po < loop_max:
+            psz = n >> po
+            if psz <= 8:
+                # explicit slice adds straight from the zigzag array: one
+                # fusion producing [..., K, nparts] in the natural
+                # K-sublane/nparts-lane layout.  Traffic is identical to
+                # halving the previous level (psize·nparts = K·2·nparts
+                # elements either way) but the lane-strided halving adds
+                # made XLA materialize nparts-major copies + transposes
+                # (~2.5 ms/batch at block 16384, profiled hi-res r4).
+                zzl = zzf.reshape(*lead, 1 << po, psz)
+                sp = None
+                for j in range(psz):
+                    tj = (zzl[..., j][..., None, :]
+                          >> ks_all[:, None].astype(zzf.dtype)
+                          ).astype(sdt)
+                    sp = tj if sp is None else sp + tj
+                s = sp
+            elif s is None:
+                s = jnp.sum(zzr_loop[..., None, :, :]
+                            >> ks_all[:, None, None].astype(zzr_loop.dtype),
+                            axis=-1, dtype=sdt)    # [..., K, nparts_lm]
+            else:
                 s = s[..., 0::2] + s[..., 1::2]
             if po not in loop_pos:
                 continue
