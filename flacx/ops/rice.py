@@ -389,56 +389,8 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     best_bits = best_bits - jnp.where(best_bits >= FALLBACK_BIAS,
                                       FALLBACK_BIAS, 0)
 
-    # Per-sample parameter + partition-start mask for the chosen order.
-    # Partitions are position-aligned (partition p covers samples
-    # [p·psize, (p+1)·psize)), so per-sample expansion is a pure
-    # broadcast-reshape — no gathers.
-    i = jnp.arange(n, dtype=jnp.int32)
-    # int8 per-sample parameter: k ≤ 30 and escape size E ≤ 31 both fit,
-    # and the [..., n] expansion chain is pure HBM traffic — a quarter
-    # of the int32 footprint (consumers promote on use)
-    k_sample = jnp.zeros((*lead, n), jnp.int8)
-    param_start = jnp.zeros((*lead, n), bool)
-    esc_sample = jnp.zeros((*lead, n), bool)
-    # param-slot subsampled copies (static positions {0..32} ∪ multiples
-    # of psize_min): picked from the SMALL per-partition arrays with
-    # static indices — emitters must never gather these from the
-    # [..., n] expansions (a 64-column gather forces the whole expansion
-    # to materialize in gather layout, ~0.8 ms/batch profiled)
     psize_min = n >> max_po
-    ppos = sorted(set(range(min(33, n))) | set(range(0, n, psize_min)))
-    np_ppos = np.asarray(ppos, np.int32)
-    p_cnt = len(ppos)
-    k_param = jnp.zeros((*lead, p_cnt), jnp.int8)
-    start_param = jnp.zeros((*lead, p_cnt), bool)
-    esc_param = jnp.zeros((*lead, p_cnt), bool)
     nseg = 1 << max_po
-    for po in porders:
-        nparts = 1 << po
-        psize = n >> po
-        w4 = (best_width == 4)[..., None]
-        args = jnp.where(w4, k4_levels[po],
-                         k5_levels[po]).astype(jnp.int8)  # [..., nparts]
-        escs = jnp.where(w4, e4_levels[po], e5_levels[po])
-
-        def expand(a):
-            return jnp.broadcast_to(a[..., None],
-                                    (*lead, nparts, psize)).reshape(*lead, n)
-
-        starts = ((i % psize == 0) & (i > 0)) | (i == order[..., None])
-        here = (best_po == po)[..., None]
-        k_sample = jnp.where(here, expand(args), k_sample)
-        esc_sample = jnp.where(here, expand(escs), esc_sample)
-        param_start = jnp.where(here, starts, param_start)
-
-        part_of = jnp.asarray(np_ppos // psize, jnp.int32)   # static
-        k_param = jnp.where(here, args[..., part_of], k_param)
-        esc_param = jnp.where(here, escs[..., part_of], esc_param)
-
-        sp = ((jnp.asarray(np_ppos % psize == 0)
-               & jnp.asarray(np_ppos > 0))
-              | (jnp.asarray(np_ppos) == order[..., None]))
-        start_param = jnp.where(here, sp, start_param)
 
     # Finest-grid (segment) copies, built HIERARCHICALLY: walk orders
     # coarse→fine, upsampling the working grid by broadcast-reshape and
@@ -462,14 +414,50 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
         args = jnp.where(w4, k4_levels[po], k5_levels[po]).astype(jnp.int8)
         escs = jnp.where(w4, e4_levels[po], e5_levels[po])
         here = (best_po == po)[..., None]
-        k_seg = jnp.where(here, args, k_seg)
-        esc_seg = jnp.where(here, escs, esc_seg)
+        # barrier per level: without it XLA sinks every upsample into
+        # the final consumer's layout, re-materializing each where-step
+        # at FULL nseg size (15 × [..., nseg] fusions ≈ 1.4 ms/batch at
+        # block 16384 — exactly the chain the hierarchy exists to avoid)
+        k_seg, esc_seg = jax.lax.optimization_barrier(
+            (jnp.where(here, args, k_seg), jnp.where(here, escs, esc_seg)))
     if cur_po < max_po:
         f = 1 << (max_po - cur_po)
         up = (*lead, k_seg.shape[-1], f)
         k_seg = jnp.broadcast_to(k_seg[..., None], up).reshape(*lead, nseg)
         esc_seg = jnp.broadcast_to(esc_seg[..., None], up
                                    ).reshape(*lead, nseg)
+
+    # Every other parameter field DERIVES from the segment grid (the
+    # partition of the chosen order containing sample i is segment
+    # i // psize_min): one broadcast-reshape per [..., n] field, one
+    # static gather per slot field, one data-dependent modulo for each
+    # start mask — replacing the per-order expand-and-select chains
+    # (15 full-size [..., n] fusions ≈ 1.4 ms/batch at block 16384,
+    # profiled hi-res r4).  int8 per-sample parameter: k ≤ 30 and
+    # escape size E ≤ 31 both fit; consumers promote on use.
+    k_sample = jnp.broadcast_to(k_seg[..., None],
+                                (*lead, nseg, psize_min)).reshape(*lead, n)
+    esc_sample = jnp.broadcast_to(esc_seg[..., None],
+                                  (*lead, nseg, psize_min)).reshape(*lead, n)
+    i = jnp.arange(n, dtype=jnp.int32)
+    psz_best = (jnp.asarray(n, jnp.int32) >> best_po)[..., None]  # [...,1]
+    param_start = ((i % psz_best == 0) & (i > 0)) | (i == order[..., None])
+
+    # param-slot subsampled copies (static positions {0..32} ∪ multiples
+    # of psize_min) — emitters must never gather these from the [..., n]
+    # expansions (a 64-column gather forces the whole expansion to
+    # materialize in gather layout, ~0.8 ms/batch profiled)
+    ppos = sorted(set(range(min(33, n))) | set(range(0, n, psize_min)))
+    np_ppos = np.asarray(ppos, np.int32)
+    if len(ppos) == n and psize_min == 1:
+        k_param, esc_param, start_param = k_seg, esc_seg, param_start
+    else:
+        part_idx = jnp.asarray(np_ppos // psize_min, jnp.int32)
+        k_param = k_seg[..., part_idx]
+        esc_param = esc_seg[..., part_idx]
+        posP = jnp.asarray(np_ppos, jnp.int32)
+        start_param = (((posP % psz_best) == 0) & (posP > 0)) \
+            | (posP == order[..., None])
 
     return RicePlan(bits=best_bits, porder=best_po, width=best_width,
                     k_sample=k_sample, param_start=param_start,
