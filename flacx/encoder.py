@@ -327,6 +327,28 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         logging.getLogger("flacx").info(
             "tile emit/pack fast path disabled (%s); using the XLA "
             "symbol path", "; ".join(reasons))
+    # kernel-resident exact Rice search (flacx.kernels.rice_tile): one
+    # pass over zz instead of one XLA re-stream per candidate k — the
+    # single largest HBM-traffic item of the r4 pipeline (~0.95 GB of
+    # 7.7 GB reported per headline batch)
+    from flacx.kernels.rice_tile import supported_levels
+    use_rice_kernel = (jax.default_backend() == "tpu"
+                       and wdt == jnp.int32 and b % 128 == 0
+                       and _stop_after is None
+                       and supported_levels(n, cfg.porders, 512)
+                       is not None)
+
+    def _mk_plan(zzarr, orderarr):
+        stats = None
+        if use_rice_kernel:
+            from flacx.kernels.rice_tile import rice_stats_tiles
+            stats = rice_stats_tiles(zzarr, orderarr.astype(jnp.int32),
+                                     cfg.porders, cfg.kmax)
+        return rice.exact_plan(zzarr, orderarr, cfg.porders,
+                               cfg.preferred_porders, cfg.kmax,
+                               allow_escape=cfg.escapes,
+                               kernel_stats=stats)
+
     sum_taps_merged = max(max(1, p << max(prec - 1, 0)), 15)
     from flacx.kernels.lpcres_tile import split_mac_ok
     # the zigzag-residual kernel is exact under the single-int32 MAC
@@ -336,8 +358,19 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     fused_zz_i32 = (cfg.eff_bps + 1 + sum_taps_merged.bit_length() <= 31)
     fused_zz_split = (not fused_zz_i32
                       and split_mac_ok(cfg.eff_bps, sum_taps_merged))
-    use_fused_zz = (use_tile_emit and cfg.order_search == "estimate"
-                    and (fused_zz_i32 or fused_zz_split))
+    # exact-order search: the all-orders stats kernel replaces the
+    # [B, V, P, N] residual stack (reference recomputes one residual per
+    # candidate order, flac/encoder.py:374-390; the stack was ~0.9 GB
+    # per headline batch) with a single VMEM pass per window — gated on
+    # the single-int32 exactness bounds, so results are bit-identical
+    from flacx.kernels.lpcres_tile import allorder_stats_ok
+    use_allorder = (jax.default_backend() == "tpu" and wdt == jnp.int32
+                    and cfg.order_search == "exact" and p > 0
+                    and b % 128 == 0 and _stop_after is None
+                    and allorder_stats_ok(cfg.eff_bps, sum_taps_merged))
+    use_fused_zz = ((fused_zz_i32 or fused_zz_split)
+                    and (use_tile_emit if cfg.order_search == "estimate"
+                         else use_allorder))
 
     adt = (jnp.float64 if cfg.analysis_dtype == "f64"
            or (cfg.analysis_dtype == "auto" and cfg.order_search == "exact")
@@ -354,6 +387,7 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         # best-of-windows candidate set and is window-agnostic.
         lcounts = (n - cand_orders[5:]).astype(jnp.int64)
         qcoefs = qshifts = lpc_valid = lzz_sum = lres = wrank = None
+        lmax = None
         for wname in cfg.windows:
             wnp = apodization_window_np(wname, n)
             w32 = jnp.asarray(wnp.astype(adt))
@@ -377,14 +411,23 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
             qcoefs_w, qshifts_w, valid_q = quantize_all_orders(-taps_f,
                                                                prec)
             lpc_valid_w = valid_ld & valid_q                    # [B,V,P]
-            if cfg.order_search == "exact":
+            if cfg.order_search == "exact" and use_allorder:
+                from flacx.kernels.lpcres_tile import lpc_allorder_stats
+                lres_w = None
+                lmax_w = None
+                lzz_sum_w, lmax_w = lpc_allorder_stats(
+                    x_v, qcoefs_w.astype(jnp.int32),
+                    qshifts_w.astype(jnp.int32))
+            elif cfg.order_search == "exact":
                 lres_w = lpc_residuals_all(x_v, qcoefs_w, qshifts_w,
                                            cfg.lpc_acc_dtype)  # [B,V,P,N]
+                lmax_w = None
                 lmask = i_pos >= cand_orders[5:, None]
                 lzz_sum_w = jnp.sum(rice.zigzag(lres_w) * lmask, axis=-1,
                                     dtype=jnp.int64)
             else:
                 lres_w = None
+                lmax_w = None
                 # the error power is in the windowed domain; undo the
                 # window's average power so fixed (unwindowed) and LPC
                 # estimates compare, and so different windows compare
@@ -398,6 +441,7 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
             if qcoefs is None:
                 qcoefs, qshifts, lpc_valid = qcoefs_w, qshifts_w, lpc_valid_w
                 lzz_sum, lres, wrank = lzz_sum_w, lres_w, wrank_w
+                lmax = lmax_w
             else:
                 bet = wrank_w < wrank
                 wrank = jnp.where(bet, wrank_w, wrank)
@@ -407,6 +451,8 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
                 qcoefs = jnp.where(bet[..., None], qcoefs_w, qcoefs)
                 if lres is not None:
                     lres = jnp.where(bet[..., None], lres_w, lres)
+                if lmax is not None:
+                    lmax = jnp.where(bet, lmax_w, lmax)
     else:
         qcoefs = jnp.zeros((b, nv, 1, 1), jnp.int32)
         qshifts = jnp.zeros((b, nv, 1), jnp.int32)
@@ -448,7 +494,13 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         shift_lpc_v = _select_case(lo0, qshifts, axis=2)
         # cross-family comparison always on EXACT magnitude sums (the
         # Levinson error is optimistic about post-quantization residuals)
-        if cfg.order_search == "exact":
+        if cfg.order_search == "exact" and use_allorder:
+            # stats-only kernel path: the per-order sums/maxima already
+            # exist — select the chosen order's, no residual gather
+            lpc_res = None
+            lzz_exact = _select_case(lo0, lzz_sum, axis=2)
+            lpc_maxabs = _select_case(lo0, lmax, axis=2)
+        elif cfg.order_search == "exact":
             lpc_res = _select_case(lo0, lres, axis=2)
             lmask_best = i_pos >= lpc_order[..., None]
             lpc_res = lpc_res * lmask_best    # zero the warmup junk
@@ -497,14 +549,28 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     plan_v = None
     if cfg.use_stereo_modes and cfg.order_search == "exact":
         taps_fix4_v = jnp.asarray(FIXED_PREDICTOR_TAPS)[fixed_order]
-        res_fix_v = predict_residual(
-            x_v, taps_fix4_v, jnp.zeros((b, nv), jnp.int32),
-            cfg.fixed_acc_dtype).astype(wdt)
-        res_v = jnp.where(pred_is_lpc[..., None], lpc_res, res_fix_v)
-        zz_v = rice.zigzag(res_v) * (i_pos >= pred_order[..., None])
-        plan_v = rice.exact_plan(zz_v, pred_order, cfg.porders,
-                                 cfg.preferred_porders, cfg.kmax,
-                                 allow_escape=cfg.escapes)
+        if lpc_res is None:
+            # kernel path: merge per-virtual-channel chosen taps and let
+            # the fused MAC+zigzag kernel recompute the residual in VMEM
+            # (bit-identical to the where-merge it replaces)
+            from flacx.kernels.lpcres_tile import zigzag_residual_tiles
+            tfix = jnp.pad(taps_fix4_v, ((0, 0), (0, 0), (0, t - 4)))
+            tlpc = taps_lpc_v
+            if t > p:
+                tlpc = jnp.pad(tlpc, ((0, 0), (0, 0), (0, t - p)))
+            taps_v_all = jnp.where(pred_is_lpc[..., None], tlpc, tfix)
+            shift_v_all = jnp.where(pred_is_lpc, shift_lpc_v, 0) \
+                .astype(jnp.int32)
+            zz_v = zigzag_residual_tiles(x_v, taps_v_all.astype(jnp.int32),
+                                         shift_v_all, pred_order,
+                                         split=fused_zz_split)
+        else:
+            res_fix_v = predict_residual(
+                x_v, taps_fix4_v, jnp.zeros((b, nv), jnp.int32),
+                cfg.fixed_acc_dtype).astype(wdt)
+            res_v = jnp.where(pred_is_lpc[..., None], lpc_res, res_fix_v)
+            zz_v = rice.zigzag(res_v) * (i_pos >= pred_order[..., None])
+        plan_v = _mk_plan(zz_v, pred_order)
         pred_bits = (8 + pred_order.astype(jnp.int64) * bps_bv
                      + jnp.where(pred_is_lpc,
                                  9 + pred_order.astype(jnp.int64) * prec, 0)
@@ -592,9 +658,7 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     if _stop_after == "residual":
         return {"zz": zz}
     if plan_v is None:
-        plan = rice.exact_plan(zz, order, cfg.porders,
-                               cfg.preferred_porders, cfg.kmax,
-                               allow_escape=cfg.escapes)
+        plan = _mk_plan(zz, order)
     if _stop_after == "plan":
         return {"bits": plan.bits, "k": plan.k_sample}
 
@@ -620,13 +684,18 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         # kernel-resident emit→pack (flacx.ops.tilepack): per-sample
         # symbols never materialize in HBM, no transposes around the
         # merges; nbytes rounds up — strings are zero-filled, so the
-        # final partial byte equals the classic path's pad symbol
+        # final partial byte equals the classic path's pad symbol.
+        # The merge kernel byteswaps in VMEM and the CRC-16 folds on
+        # the pre-transpose words (flacx.kernels.crc_tile), so the byte
+        # split below is a free bitcast and no XLA pass re-reads words.
         from flacx.ops.tilepack import pack_frames_tiled
-        frame_words, total_bits = pack_frames_tiled(
+        frame_words_le, total_bits, crc = pack_frames_tiled(
             hdr.values, hdr.lengths, kind, order, bps_c, x_sel, taps,
             shift, prec, zz, plan, wasted, psize_min,
             cfg.max_frame_bytes)
         nbytes = (total_bits + 7) // 8
+        frame_bytes = jax.lax.bitcast_convert_type(
+            frame_words_le, jnp.uint8).reshape(b, -1)
     else:
         sv, sl = emit.subframe_symbols(kind, order, bps_c, x_sel, taps,
                                        shift, prec, zz, plan,
@@ -649,10 +718,10 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
         if _stop_after == "pack":
             return {"words": frame_words, "bits": total_bits}
         nbytes = total_bits // 8
-    # CRC folds straight from the packed words (a quarter the stream of
-    # the byte expansion); the byte split is a byteswap+bitcast
-    crc = crc16_over_word_rows(frame_words, nbytes)
-    frame_bytes = words_to_bytes(frame_words)
+        # CRC folds straight from the packed words (a quarter the stream
+        # of the byte expansion); the byte split is a byteswap+bitcast
+        crc = crc16_over_word_rows(frame_words, nbytes)
+        frame_bytes = words_to_bytes(frame_words)
     pos = jnp.arange(cfg.max_frame_bytes, dtype=jnp.int32)
     frame_bytes = jnp.where(pos == nbytes[:, None],
                             (crc[:, None] >> 8).astype(jnp.uint8),

@@ -125,8 +125,23 @@ def _tile_kernel(lanes, values_ref, lengths_ref, la_ref, words_ref):
     words_ref[0] = buf
 
 
+def merge_level_counts(s: int) -> int:
+    """Number of pairwise-merge levels for an S-string stack (any S ≥ 1
+    — an odd level's last string passes through unpaired)."""
+    levels = 0
+    while s > 1:
+        levels += 1
+        s = (s + 1) // 2
+    return levels
+
+
+def _bswap32(w):
+    return ((w >> 24) | ((w >> 8) & jnp.uint32(0xFF00))
+            | ((w << 8) & jnp.uint32(0xFF0000)) | (w << 24))
+
+
 def _upper_kernel(n_strings: int, lanes: int, cap0: int, out_rows: int,
-                  words_ref, *rest):
+                  bswap: bool, words_ref, *rest):
     """Merge ``n_strings`` ``cap0``-word strings per lane fully in VMEM.
 
     The XLA upper tree costs ~20 ms/batch at 1024 frames: every level
@@ -141,15 +156,21 @@ def _upper_kernel(n_strings: int, lanes: int, cap0: int, out_rows: int,
     ``out_rows`` — string contents provably never exceed the frame's
     byte capacity, so deep levels shrink instead of doubling, which both
     bounds the VMEM working set and skips provably-empty rows.
+
+    ``n_strings`` may be ANY count ≥ 2 (round 5): an odd level's last
+    string passes through zero-padded to the level's row capacity, so
+    callers no longer pad string stacks to a power of two (10 of the
+    headline config's 32 strings were zero pads riding every level).
     """
-    levels = n_strings.bit_length() - 1
+    levels = merge_level_counts(n_strings)
     las = rest[:levels]
     out_ref = rest[levels]
     buf = words_ref[0]                          # [rows, lanes] u32
 
     r_in = cap0
+    s = n_strings
     for k in range(levels):
-        pairs = n_strings >> (k + 1)
+        pairs = s // 2
         r_out = min(2 * r_in, out_rows)
         la_ref = las[k]
         regions = []
@@ -182,11 +203,22 @@ def _upper_kernel(n_strings: int, lanes: int, cap0: int, out_rows: int,
                     [buf[r0: r0 + r_in] | merged[:r_in],
                      merged[r_in:]], axis=0)
             regions.append(merged)
+        if s % 2:
+            tail = buf[2 * pairs * r_in: 2 * pairs * r_in
+                       + min(r_in, r_out)]
+            if r_out > r_in:
+                tail = jnp.concatenate(
+                    [tail, jnp.zeros((r_out - r_in, lanes), jnp.uint32)],
+                    axis=0)
+            regions.append(tail)
         buf = jnp.concatenate(regions, axis=0) if len(regions) > 1 \
             else regions[0]
+        s = pairs + s % 2
         r_in = r_out
 
-    out_ref[0] = buf
+    # optional in-VMEM byteswap: the caller's byte split then becomes a
+    # free bitcast instead of a shift/or pass over the whole word array
+    out_ref[0] = _bswap32(buf) if bswap else buf
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "lanes",
@@ -208,19 +240,24 @@ def merge_strings(words: jnp.ndarray, bits: jnp.ndarray,
       ``[F, out_rows]`` u32 packed words (the frame's stream at row 0).
     """
     f, s, cap = words.shape
-    assert s & (s - 1) == 0 and f % lanes == 0
+    assert s >= 2 and f % lanes == 0
     rows = s * cap
     if out_rows is None or out_rows > rows:
         out_rows = rows
     grid = f // lanes
-    levels = s.bit_length() - 1
+    levels = merge_level_counts(s)
 
-    # per-level even-string lengths [F, pairs] (tiny XLA-side cumsums)
+    # per-level even-string lengths [F, pairs] (tiny XLA-side cumsums);
+    # an odd level's last string passes through
     las = []
     cur = bits
     for _ in range(levels):
-        las.append(cur[:, 0::2])
-        cur = cur[:, 0::2] + cur[:, 1::2]
+        pairs = cur.shape[1] // 2
+        las.append(cur[:, 0: 2 * pairs: 2])
+        nxt = cur[:, 0: 2 * pairs: 2] + cur[:, 1: 2 * pairs: 2]
+        if cur.shape[1] % 2:
+            nxt = jnp.concatenate([nxt, cur[:, 2 * pairs:]], axis=1)
+        cur = nxt
 
     wt = (words.reshape(grid, lanes, rows).transpose(0, 2, 1))
     la_t = [a.reshape(grid, lanes, -1).transpose(0, 2, 1) for a in las]
@@ -229,7 +266,7 @@ def merge_strings(words: jnp.ndarray, bits: jnp.ndarray,
                                    lambda g: (g, g - g, g - g),
                                    memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_upper_kernel, s, lanes, cap, out_rows),
+        functools.partial(_upper_kernel, s, lanes, cap, out_rows, False),
         grid=(grid,),
         in_specs=[block(rows)] + [block(a.shape[1]) for a in la_t],
         out_specs=block(out_rows),
@@ -390,20 +427,21 @@ def merge_strings_t_leveled(wt: jnp.ndarray, bits: jnp.ndarray,
     g, rows, l = wt.shape
     s = bits.shape[1]
     cap = rows // s
-    assert s & (s - 1) == 0 and cap * s == rows
+    assert s >= 2 and cap * s == rows
     if out_rows is None or out_rows > rows:
         out_rows = rows
-    levels = s.bit_length() - 1
+    levels = merge_level_counts(s)
 
     cur = wt
     cur_bits = bits
     r_in = cap
     for _ in range(levels):
-        pairs = cur_bits.shape[1] // 2
+        ns = cur_bits.shape[1]
+        pairs = ns // 2
         r_out = min(2 * r_in, out_rows)
-        la = cur_bits[:, 0::2, :]                  # [G, pairs, L]
+        la = cur_bits[:, 0: 2 * pairs: 2, :]       # [G, pairs, L]
         la8 = jnp.broadcast_to(la[:, :, None, :], (g, pairs, 8, l))
-        cur = pl.pallas_call(
+        nxt = pl.pallas_call(
             functools.partial(_pair_kernel, r_in, r_out, l),
             grid=(g, pairs),
             in_specs=[
@@ -426,15 +464,26 @@ def merge_strings_t_leveled(wt: jnp.ndarray, bits: jnp.ndarray,
                 vmem_limit_bytes=120 * 1024 * 1024),
             interpret=interpret,
         )(cur, la8)
-        cur_bits = cur_bits[:, 0::2, :] + cur_bits[:, 1::2, :]
+        nb = cur_bits[:, 0: 2 * pairs: 2, :] + cur_bits[:, 1: 2 * pairs: 2, :]
+        if ns % 2:
+            tail = cur[:, 2 * pairs * r_in: 2 * pairs * r_in
+                       + min(r_in, r_out), :]
+            if r_out > r_in:
+                tail = jnp.concatenate(
+                    [tail, jnp.zeros((g, r_out - r_in, l), jnp.uint32)],
+                    axis=1)
+            nxt = jnp.concatenate([nxt, tail], axis=1)
+            nb = jnp.concatenate([nb, cur_bits[:, 2 * pairs:, :]], axis=1)
+        cur, cur_bits = nxt, nb
         r_in = r_out
     return cur
 
 
 @functools.partial(jax.jit, static_argnames=("lanes", "out_rows",
-                                             "interpret"))
+                                             "bswap", "interpret"))
 def merge_strings_t(wt: jnp.ndarray, bits: jnp.ndarray,
                     lanes: int = 64, out_rows: int | None = None,
+                    bswap: bool = False,
                     interpret: bool = False) -> jnp.ndarray:
     """:func:`merge_strings` on PRE-TRANSPOSED string stacks.
 
@@ -451,17 +500,21 @@ def merge_strings_t(wt: jnp.ndarray, bits: jnp.ndarray,
     g, rows, l = wt.shape
     s = bits.shape[1]
     cap = rows // s
-    assert s & (s - 1) == 0 and l % lanes == 0 and cap * s == rows
+    assert s >= 2 and l % lanes == 0 and cap * s == rows
     if out_rows is None or out_rows > rows:
         out_rows = rows
-    levels = s.bit_length() - 1
+    levels = merge_level_counts(s)
     lsplit = l // lanes
 
     las = []
     cur = bits
     for _ in range(levels):
-        las.append(cur[:, 0::2, :])
-        cur = cur[:, 0::2, :] + cur[:, 1::2, :]
+        pairs = cur.shape[1] // 2
+        las.append(cur[:, 0: 2 * pairs: 2, :])
+        nxt = cur[:, 0: 2 * pairs: 2, :] + cur[:, 1: 2 * pairs: 2, :]
+        if cur.shape[1] % 2:
+            nxt = jnp.concatenate([nxt, cur[:, 2 * pairs:, :]], axis=1)
+        cur = nxt
 
     if lsplit == 1:
         # avoid //-and-% index arithmetic (i64 div trips Mosaic
@@ -474,7 +527,7 @@ def merge_strings_t(wt: jnp.ndarray, bits: jnp.ndarray,
             (1, r, lanes), lambda i: (i // lsplit, i - i, i % lsplit),
             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_upper_kernel, s, lanes, cap, out_rows),
+        functools.partial(_upper_kernel, s, lanes, cap, out_rows, bswap),
         grid=(g * lsplit,),
         in_specs=[block(rows)] + [block(a.shape[1]) for a in las],
         out_specs=block(out_rows),

@@ -504,3 +504,134 @@ def lpc_residual_tiles(x: jnp.ndarray, taps: jnp.ndarray,
                   axis=(0, 1))
     maxabs = jnp.max(parts[:, TILE // SEG, :], axis=0)
     return res[..., :n], lzz, maxabs
+
+
+def _allorder_stats_kernel(n: int, p_max: int, t8: int, look: int,
+                           bv: int | None,
+                           x_ref, taps_ref, shifts_ref, part_ref,
+                           tail_ref):
+    """Selection statistics for EVERY LPC order in one pass over ``x``.
+
+    The exact-order-search encoder needs ``(Σ zigzag(res_o), max|res_o|)``
+    for all orders ``o = 1..P`` per (frame, virtual channel); as XLA this
+    materializes the full ``[B, V, P, N]`` residual stack (reference
+    semantics flac/encoder.py:362-420 — one residual per candidate
+    order), ~0.9 GB per headline batch.  Here the signal tile is read
+    once and the per-order MACs (``Σ_o o ≈ P²/2`` multiply-adds per
+    sample — the same FLOPs XLA spends) run entirely in VMEM, emitting
+    only the tiny zigzag partials + maxima per order.
+    """
+    j = pl.program_id(1)
+    cur = x_ref[...]
+    if bv is not None:
+        cur = cur.reshape(LANES, TILE)
+    cur = cur.T                                 # [TILE, LANES] i32
+    prev = tail_ref[...] * (j != 0)
+    ext = jnp.concatenate([prev, cur], axis=0)
+    tail_ref[...] = cur[TILE - look:]
+
+    local = jax.lax.broadcasted_iota(jnp.int32, (TILE, LANES), 0)
+    nt = -(-n // TILE)
+    in_tail = (local < jnp.int32(n - (nt - 1) * TILE)) | (j != nt - 1)
+
+    rows_out = []
+    pad = jnp.zeros((PROWS - TILE // SEG - 1, LANES), jnp.int32)
+    for p in range(p_max):
+        acc = jnp.zeros((TILE, LANES), jnp.int32)
+        for jt in range(p + 1):
+            acc = acc + ext[look - 1 - jt: look - 1 - jt + TILE] \
+                * taps_ref[0, p * t8 + jt: p * t8 + jt + 1, :]
+        pred = jnp.right_shift(acc, shifts_ref[0, p: p + 1, :])
+        valid = ((local >= p + 1) | (j != 0)) & in_tail
+        res = jnp.where(valid, cur - pred, jnp.int32(0))
+        zz = (res << 1) ^ (res >> 31)
+        zzp = jnp.sum(zz.reshape(TILE // SEG, SEG, LANES), axis=1,
+                      dtype=jnp.int32)
+        mab = jnp.max(jnp.abs(res), axis=0)[None, :]
+        rows_out += [zzp, mab, pad]
+    part_ref[0] = jnp.concatenate(rows_out, axis=0)
+
+
+def allorder_stats_ok(eff_bps: int, sum_taps_max: int) -> bool:
+    """Exactness gate for :func:`lpc_allorder_stats` — single-int32 MAC
+    AND int32 zigzag partials (same bounds as the module docstring)."""
+    return (eff_bps + 1 + max(1, sum_taps_max).bit_length() <= 31
+            and (1 + sum_taps_max) < (1 << max(25 - eff_bps, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lpc_allorder_stats(x: jnp.ndarray, qcoefs: jnp.ndarray,
+                       shifts: jnp.ndarray,
+                       interpret: bool = False
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``(lzz, maxabs)`` of the masked residual at EVERY LPC order.
+
+    Args:
+      x: ``[B, V, N]`` int32 samples (``B·V`` a multiple of 128).
+      qcoefs: ``[B, V, P, T]`` int32 quantized taps (row ``o-1`` is the
+        order-``o`` predictor, zero beyond its order), ``T ≤ 32``.
+      shifts: ``[B, V, P]`` int32 ≥ 0.
+    Returns:
+      ``(lzz [B, V, P] int64, maxabs [B, V, P] int32)`` — bit-identical
+      to ``lpc_residuals_all`` → warmup-mask → reduce under the
+      :func:`allorder_stats_ok` gate.
+    """
+    b, v, n = x.shape
+    p_max, t = qcoefs.shape[-2], qcoefs.shape[-1]
+    r = b * v
+    assert r % LANES == 0 and t <= 32
+    look = -(-(t + 1) // 8) * 8
+    nt = -(-n // TILE)
+    grid_r = r // LANES
+    t8 = -(-t // 8) * 8
+
+    bv = v if LANES % v == 0 else None
+    if bv is not None:
+        xin = x
+        if nt * TILE != n:
+            xin = jnp.pad(xin, ((0, 0), (0, 0), (0, nt * TILE - n)))
+        x_spec = pl.BlockSpec((LANES // bv, bv, TILE),
+                              lambda i, j: (i, j - j, j),
+                              memory_space=pltpu.VMEM)
+    else:
+        xin = x.reshape(r, n)
+        if nt * TILE != n:
+            xin = jnp.pad(xin, ((0, 0), (0, nt * TILE - n)))
+        x_spec = pl.BlockSpec((LANES, TILE), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)
+
+    taps_t = jnp.pad(qcoefs.reshape(r, p_max, t),
+                     ((0, 0), (0, 0), (0, t8 - t))) \
+        .reshape(grid_r, LANES, p_max * t8).transpose(0, 2, 1)
+    p8 = -(-p_max // 8) * 8
+    shifts_t = jnp.pad(shifts.reshape(r, p_max).astype(jnp.int32),
+                       ((0, 0), (0, p8 - p_max))) \
+        .reshape(grid_r, LANES, p8).transpose(0, 2, 1)
+
+    rows = p_max * PROWS
+    parts = pl.pallas_call(
+        functools.partial(_allorder_stats_kernel, n, p_max, t8, look, bv),
+        grid=(grid_r, nt),
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((1, p_max * t8, LANES),
+                         lambda i, j: (i, j - j, j - j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p8, LANES), lambda i, j: (i, j - j, j - j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, LANES), lambda i, j: (j, i - i, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt, rows, r), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((look, LANES), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xin, taps_t, shifts_t)
+
+    p4 = parts.reshape(nt, p_max, PROWS, r)
+    lzz = jnp.sum(p4[:, :, : TILE // SEG, :].astype(jnp.int64),
+                  axis=(0, 2)).transpose(1, 0).reshape(b, v, p_max)
+    maxabs = jnp.max(p4[:, :, TILE // SEG, :], axis=0) \
+        .transpose(1, 0).reshape(b, v, p_max)
+    return lzz, maxabs

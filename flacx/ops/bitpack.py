@@ -118,15 +118,9 @@ def pack_symbols_words(values: jnp.ndarray, lengths: jnp.ndarray,
         n_tiles = b * s_tiles
         tw, tb = merge_tiles(values.reshape(n_tiles, TILE),
                              lengths.reshape(n_tiles, TILE))
-        n_strings = 1
-        while n_strings < s_tiles:
-            n_strings <<= 1
-        if n_strings != s_tiles:
-            tw = jnp.pad(tw.reshape(b, s_tiles, TILE),
-                         ((0, 0), (0, n_strings - s_tiles), (0, 0))
-                         ).reshape(b * n_strings, TILE)
-            tb = jnp.pad(tb.reshape(b, s_tiles),
-                         ((0, 0), (0, n_strings - s_tiles))).reshape(-1)
+        # the in-VMEM upper merge handles ANY string count (odd levels
+        # pass the last string through), so no zero-string padding there
+        n_strings = s_tiles
         # VMEM-adaptive lane count: peak live set ≈ 3 arrays of
         # rows·lanes·4 B; keep it well under the ~16 MB VMEM budget
         rows = n_strings * TILE
@@ -144,8 +138,18 @@ def pack_symbols_words(values: jnp.ndarray, lengths: jnp.ndarray,
                                    out_rows=out_rows)
             total_bits = tb.reshape(b, n_strings).sum(-1)
             return packed[:, : max_bytes // 4], total_bits
-        words = tw.reshape(b, n_strings, TILE)
-        bits = tb.reshape(b, n_strings)
+        # the XLA pairwise fallback tree halves evenly — pad to 2^m
+        n_pow = 1
+        while n_pow < s_tiles:
+            n_pow <<= 1
+        if n_pow != s_tiles:
+            tw = jnp.pad(tw.reshape(b, s_tiles, TILE),
+                         ((0, 0), (0, n_pow - s_tiles), (0, 0))
+                         ).reshape(b * n_pow, TILE)
+            tb = jnp.pad(tb.reshape(b, s_tiles),
+                         ((0, 0), (0, n_pow - s_tiles))).reshape(-1)
+        words = tw.reshape(b, n_pow, TILE)
+        bits = tb.reshape(b, n_pow)
         cap = TILE
     else:
         # non-tile path merges pairwise from single symbols: pad the slot

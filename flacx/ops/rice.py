@@ -92,9 +92,49 @@ def estimate_bits(zz_sum: jnp.ndarray, count: jnp.ndarray,
     return (zz_sum >> k) + (k + 1) * count
 
 
+def _closed_form_fine(z: jnp.ndarray, order: jnp.ndarray, nparts_max: int,
+                      kmax: int, n_k4: int, sdt, invalid_s):
+    """Single-sample-partition closed-form search (see call site)."""
+    zb = z.astype(sdt)
+    bl = (jnp.int32(jnp.iinfo(z.dtype).bits)
+          - jax.lax.clz(z).astype(jnp.int32))  # bitlen
+    c1 = (jnp.arange(nparts_max) != 0) | (order[..., None] == 0)
+    kstar = jnp.where(
+        c1,
+        jnp.where((bl >= 2)
+                  & ((zb >> jnp.maximum(bl - 2, 0)) == 2),
+                  bl - 2, jnp.maximum(bl - 1, 0)),
+        bl)
+    # smallest k with (z>>k) + k + 1 ≤ 32.  Eligibility is
+    # upward-closed in k, and no k < b−5 can be eligible
+    # (z>>(b−6) ≥ 32 already busts the cap), so testing candidates
+    # b−1 (always eligible for b ≤ 31) down to b−5 and keeping the
+    # smallest eligible is exact.
+    kmin_q = jnp.maximum(bl - 1, 0)
+    for cand in (2, 3, 4, 5):
+        kc_ = jnp.maximum(bl - cand, 0)
+        ok = (zb >> kc_) + kc_.astype(sdt) + 1 <= CODE_BITS_MAX
+        kmin_q = jnp.where(ok, kc_, kmin_q)
+    k5f = jnp.clip(kstar, kmin_q, kmax)
+    k4f = jnp.clip(kstar, kmin_q, n_k4 - 1)
+    cnt_f = c1.astype(sdt)
+    # explicit code-cap check at the chosen k (the partition's worst
+    # code IS its single value): covers magnitudes ≥ 2^31 (int64
+    # inputs) where no k ≤ kmax is eligible, and kmin > 14 for the
+    # 4-bit width
+    ok5 = (zb >> k5f) + k5f.astype(sdt) + 1 <= CODE_BITS_MAX
+    ok4 = (zb >> k4f) + k4f.astype(sdt) + 1 <= CODE_BITS_MAX
+    min5 = jnp.where(ok5, (zb >> k5f) + (k5f.astype(sdt) + 1) * cnt_f,
+                     invalid_s)
+    min4 = jnp.where(ok4, (zb >> k4f) + (k4f.astype(sdt) + 1) * cnt_f,
+                     invalid_s)
+    return min4, k4f, min5, k5f
+
+
 def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
                preferred: Sequence[int], kmax: int,
-               allow_escape: bool = True) -> RicePlan:
+               allow_escape: bool = True,
+               kernel_stats=None) -> RicePlan:
     """Choose partition order, method width and per-partition parameters.
 
     Args:
@@ -119,7 +159,6 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     max_po = max(porders)
     nparts_max = 1 << max_po
     psize_fine = n >> max_po
-    zzr = zz.reshape(*lead, nparts_max, psize_fine)
 
     # int32 search arithmetic whenever the input is int32 (wdt-int32
     # encoders, i.e. bps ≤ 24): within the code-length cap every
@@ -131,11 +170,21 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     sdt = jnp.int32 if i32 else jnp.int64
     invalid_s = jnp.asarray(1 << 28 if i32 else INVALID, sdt)
 
-    # Partition maxima: finest level, then halve up the tree.
-    m_by_po = {max_po: jnp.max(zzr, axis=-1)}
-    for po in range(max_po, 0, -1):
-        m = m_by_po[po]
-        m_by_po[po - 1] = jnp.maximum(m[..., 0::2], m[..., 1::2])
+    ks = kernel_stats
+    if ks is None:
+        zzr = zz.reshape(*lead, nparts_max, psize_fine)
+        # Partition maxima: finest level, then halve up the tree.
+        m_by_po = {max_po: jnp.max(zzr, axis=-1)}
+        for po in range(max_po, 0, -1):
+            m = m_by_po[po]
+            m_by_po[po - 1] = jnp.maximum(m[..., 0::2], m[..., 1::2])
+    else:
+        # Kernel-searched levels arrive finished (flacx.kernels.rice_tile
+        # reads each zz tile once); only maxima for the escape compare
+        # and the coarser-than-tile levels remain to assemble here.
+        assert i32, "kernel rice stats are int32-only"
+        zzr = None
+        m_by_po = {po: t[4] for po, t in ks.levels.items()}
 
     # Per-(order, partition) running Rice minima, folded over k-CHUNKS:
     # the full ``S[..., nparts, kmax+1]`` sum tensor at the finest level
@@ -164,51 +213,59 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
     # plan with one fused pass.
     closed_fine = psize_fine == 1 and max_po in porders
     if closed_fine:
-        z = zzr[..., 0]                          # [..., nparts] (= n)
-        zb = z.astype(sdt)
-        bl = (jnp.int32(jnp.iinfo(z.dtype).bits)
-              - jax.lax.clz(z).astype(jnp.int32))  # bitlen
-        c1 = (jnp.arange(nparts_max) != 0) | (order[..., None] == 0)
-        kstar = jnp.where(
-            c1,
-            jnp.where((bl >= 2)
-                      & ((zb >> jnp.maximum(bl - 2, 0)) == 2),
-                      bl - 2, jnp.maximum(bl - 1, 0)),
-            bl)
-        # smallest k with (z>>k) + k + 1 ≤ 32.  Eligibility is
-        # upward-closed in k, and no k < b−5 can be eligible
-        # (z>>(b−6) ≥ 32 already busts the cap), so testing candidates
-        # b−1 (always eligible for b ≤ 31) down to b−5 and keeping the
-        # smallest eligible is exact.
-        kmin_q = jnp.maximum(bl - 1, 0)
-        for cand in (2, 3, 4, 5):
-            kc_ = jnp.maximum(bl - cand, 0)
-            ok = (zb >> kc_) + kc_.astype(sdt) + 1 <= CODE_BITS_MAX
-            kmin_q = jnp.where(ok, kc_, kmin_q)
-        k5f = jnp.clip(kstar, kmin_q, kmax)
-        k4f = jnp.clip(kstar, kmin_q, n_k4 - 1)
-        cnt_f = c1.astype(sdt)
-        # explicit code-cap check at the chosen k (the partition's worst
-        # code IS its single value): covers magnitudes ≥ 2^31 (int64
-        # inputs) where no k ≤ kmax is eligible, and kmin > 14 for the
-        # 4-bit width
-        ok5 = (zb >> k5f) + k5f.astype(sdt) + 1 <= CODE_BITS_MAX
-        ok4 = (zb >> k4f) + k4f.astype(sdt) + 1 <= CODE_BITS_MAX
-        rice_min5[max_po] = jnp.where(
-            ok5, (zb >> k5f) + (k5f.astype(sdt) + 1) * cnt_f, invalid_s)
-        rice_arg5[max_po] = k5f
-        rice_min4[max_po] = jnp.where(
-            ok4, (zb >> k4f) + (k4f.astype(sdt) + 1) * cnt_f, invalid_s)
-        rice_arg4[max_po] = k4f
+        # z: per-partition value at single-sample partitions IS zz
+        z = zz if zzr is None else zzr[..., 0]   # [..., nparts] (= n)
+        (rice_min4[max_po], rice_arg4[max_po],
+         rice_min5[max_po], rice_arg5[max_po]) = _closed_form_fine(
+            z, order, nparts_max, kmax, n_k4, sdt, invalid_s)
+        if ks is not None:
+            m_by_po[max_po] = z
 
-    loop_pos = [po for po in porders
-                if not (closed_fine and po == max_po)]
+    if ks is not None:
+        for po, (mn4, ag4, mn5, ag5, _m) in ks.levels.items():
+            rice_min4[po], rice_arg4[po] = mn4, ag4
+            rice_min5[po], rice_arg5[po] = mn5, ag5
+        cross = [po for po in porders if po not in m_by_po]
+        if cross:
+            sk, m_tile = ks.tile_sums        # [..., K, nt], [..., nt]
+            t = ks.tile
+            ks_all = jnp.arange(kmax + 1, dtype=sdt)
+            cur = t
+            s, m = sk, m_tile
+            for po in sorted(cross, reverse=True):   # finest first
+                psize = n >> po
+                while cur < psize:
+                    s = s[..., 0::2] + s[..., 1::2]
+                    m = jnp.maximum(m[..., 0::2], m[..., 1::2])
+                    cur *= 2
+                m_by_po[po] = m
+                nparts = 1 << po
+                is_p0 = (jnp.arange(nparts) == 0)
+                cnt = psize - order[..., None] * is_p0
+                bits_pk = (s + (ks_all[:, None] + 1)
+                           * cnt[..., None, :].astype(sdt))
+                q_ok = ((m[..., None, :] >> ks_all[:, None]
+                         .astype(m.dtype))
+                        + ks_all[:, None].astype(m.dtype) + 1
+                        <= CODE_BITS_MAX)
+                bits_pk = jnp.where(q_ok, bits_pk, invalid_s)
+                rice_min5[po] = jnp.min(bits_pk, axis=-2)
+                rice_arg5[po] = jnp.argmin(bits_pk, axis=-2) \
+                    .astype(jnp.int32)
+                sub = bits_pk[..., :n_k4, :]
+                rice_min4[po] = jnp.min(sub, axis=-2)
+                rice_arg4[po] = jnp.argmin(sub, axis=-2) \
+                    .astype(jnp.int32)
+
+    loop_pos = [] if ks is not None else [
+        po for po in porders if not (closed_fine and po == max_po)]
     # fold levels the closed form already covered into the k-loop's
     # reduction: summing zzr at the coarsest level the loop still needs
     # skips the [..., nparts_max, kc] stack and its first halving pass
     # per k (~1 ms/batch at block 16384, profiled hi-res r4)
     loop_max = max(loop_pos) if loop_pos else -1
-    zzr_loop = (zzr if loop_max == max_po else
+    zzr_loop = (None if not loop_pos else
+                zzr if loop_max == max_po else
                 zzr.reshape(*lead, max(1 << loop_max, 1),
                             n >> max(loop_max, 0)))
     kmajor = loop_pos and (1 << loop_max) >= 512
@@ -264,7 +321,7 @@ def exact_plan(zz: jnp.ndarray, order: jnp.ndarray, porders: Sequence[int],
             sub = bits_pk[..., :n_k4, :]
             rice_min4[po] = jnp.min(sub, axis=-2)
             rice_arg4[po] = jnp.argmin(sub, axis=-2).astype(jnp.int32)
-    kc = max(1, (8192 if i32 else 4096) // max(1 << loop_max, 1))
+    kc = max(1, (8192 if i32 else 4096) // max(1 << max(loop_max, 0), 1))
     for k0 in range(0, (kmax + 1) if (loop_pos and not kmajor) else 0, kc):
         k1 = min(k0 + kc, kmax + 1)
         ks_c = jnp.arange(k0, k1, dtype=sdt)

@@ -43,8 +43,12 @@ def pack_frames_tiled(hdr_values: jnp.ndarray, hdr_lengths: jnp.ndarray,
 
     Args/semantics match ``emit.subframe_symbols`` +
     ``bitpack.pack_symbols_words`` with ``hdr_*`` the frame-header
-    symbols; returns ``(frame_words u32 [B, max_frame_bytes // 4],
-    total_bits i32 [B])`` — byte-identical to the classic path.
+    symbols; returns ``(frame_words_le u32 [B, max_frame_bytes // 4],
+    total_bits i32 [B], crc16 u32 [B])`` — the words are BYTESWAPPED so
+    the byte stream is ``bitcast_convert_type(words, uint8)`` (byte-
+    identical to the classic path's ``words_to_bytes``), and the frame
+    CRC-16 is already folded from the packed words in VMEM
+    (``flacx.kernels.crc_tile``).
 
     Caller-enforced gates: TPU backend, ``zz.dtype == int32``,
     ``emit.blocked_layout_ok(n, psize_min)`` OR
@@ -95,6 +99,13 @@ def pack_frames_tiled(hdr_values: jnp.ndarray, hdr_lengths: jnp.ndarray,
         return (vt.reshape(grid_b, LANES, TILE).transpose(0, 2, 1),
                 lt.reshape(grid_b, LANES, TILE).transpose(0, 2, 1))
 
+    # the tile-string stack is built DIRECTLY in per-frame stream order
+    # ([grid_b, n_str, TILE, LANES] — one mid-axis concat) so the merged
+    # output IS the upper merge's input: the round-4 post-merge regroup
+    # (two ~67 MB reorder fusions + zero-pad concats to a power-of-two
+    # string count per batch) is gone, and the upper merge now takes the
+    # true string count (the 10 pad strings of the headline's 22→32
+    # round-up rode every merge level)
     groups_v, groups_l = [], []
     for ch in range(c):
         if ch == 0:
@@ -115,53 +126,56 @@ def pack_frames_tiled(hdr_values: jnp.ndarray, hdr_lengths: jnp.ndarray,
                                            kind, order, bps, ch,
                                            psize_min, chunk_segs,
                                            interpret=interpret)
-        groups_v += [ht_v, ev.reshape(grid_b * k_tiles, TILE, LANES)]
-        groups_l += [ht_l, el.reshape(grid_b * k_tiles, TILE, LANES)]
+        groups_v += [ht_v[:, None], ev.reshape(grid_b, k_tiles, TILE,
+                                               LANES)]
+        groups_l += [ht_l[:, None], el.reshape(grid_b, k_tiles, TILE,
+                                               LANES)]
 
-    vt_all = jnp.concatenate(groups_v, axis=0)
-    lt_all = jnp.concatenate(groups_l, axis=0)
+    n_str = c * (1 + k_tiles)
+    vt_all = jnp.concatenate(groups_v, axis=1) \
+        .reshape(grid_b * n_str, TILE, LANES)
+    lt_all = jnp.concatenate(groups_l, axis=1) \
+        .reshape(grid_b * n_str, TILE, LANES)
     tw, tb = merge_tiles_t(vt_all, lt_all, interpret=interpret)
 
-    # regroup grid cells into per-frame string stacks, stream order
-    n_str = c * (1 + k_tiles)
-    s2 = 1
-    while s2 < n_str:
-        s2 <<= 1
-    wt_parts, tb_parts = [], []
-    off = 0
-    for ch in range(c):
-        wt_parts.append(tw[off: off + grid_b][:, None])
-        tb_parts.append(tb[off: off + grid_b][:, None])
-        off += grid_b
-        wt_parts.append(tw[off: off + grid_b * k_tiles]
-                        .reshape(grid_b, k_tiles, TILE, LANES))
-        tb_parts.append(tb[off: off + grid_b * k_tiles]
-                        .reshape(grid_b, k_tiles, LANES))
-        off += grid_b * k_tiles
-    if s2 > n_str:
-        wt_parts.append(jnp.zeros((grid_b, s2 - n_str, TILE, LANES),
-                                  jnp.uint32))
-        tb_parts.append(jnp.zeros((grid_b, s2 - n_str, LANES), jnp.int32))
-    wt = jnp.concatenate(wt_parts, axis=1).reshape(grid_b, s2 * TILE, LANES)
-    tbs = jnp.concatenate(tb_parts, axis=1)          # [grid_b, s2, LANES]
+    wt = tw.reshape(grid_b, n_str * TILE, LANES)
+    tbs = tb.reshape(grid_b, n_str, LANES)
 
     cap_words = max_frame_bytes // 4
-    out_rows = min(s2 * TILE, (cap_words + 2 + 511) // 512 * 512)
+    out_rows = min(n_str * TILE, (cap_words + 2 + 511) // 512 * 512)
     # single-call upper merge holds the whole [rows, 128] stack (plus
     # roll temporaries) in VMEM; for the tall stacks of segmented
     # layouts (hi-res: 256 strings = 131072 rows = 67 MB input alone)
     # switch to the level-by-level variant, which bounds VMEM per grid
     # step at one string pair and streams levels through HBM
+    from flacx.kernels.bitpack_tile import _bswap32
     if wt.shape[1] * LANES * 4 * 3 > 80 * 1024 * 1024:
         from flacx.kernels.bitpack_tile import merge_strings_t_leveled
         packed = merge_strings_t_leveled(wt, tbs, out_rows=out_rows,
                                          interpret=interpret)
+        packed = _bswap32(packed)          # one XLA pass (leveled only)
     else:
+        # byteswap inside the merge kernel: the byte split downstream
+        # becomes a free u8 bitcast instead of a shift/or pass
         packed = merge_strings_t(wt, tbs,
                                  lanes=min(LANES, wt.shape[-1]),
-                                 out_rows=out_rows, interpret=interpret)
+                                 out_rows=out_rows, bswap=True,
+                                 interpret=interpret)
+
+    # frame CRC-16 folds on the PRE-transpose packed stack in one VMEM
+    # pass (flacx.kernels.crc_tile); only the per-frame zero-tail fix
+    # (one clmul on [B]) happens XLA-side
+    from flacx.kernels.crc_tile import crc16_packed_t
+    from flacx.ops.crcfold import (_barrett, _clmul16, CRC16_POLYNOMIAL,
+                                   inverse_power_table)
+    total_bits = jnp.sum(tbs, axis=1).reshape(grid_b * LANES)
+    folded = crc16_packed_t(packed, le=True, interpret=interpret)
+    l2 = out_rows * 4
+    inv = jnp.asarray(inverse_power_table(16, CRC16_POLYNOMIAL, l2 + 1))
+    nbytes = ((total_bits + 7) // 8).astype(jnp.int32)
+    fix = inv[jnp.clip(l2 - nbytes, 0, l2)]
+    crc = _barrett(_clmul16(folded, fix), 16, CRC16_POLYNOMIAL, 31)
 
     frame_words = packed.transpose(0, 2, 1).reshape(b, out_rows)
     frame_words = frame_words[:, :cap_words]
-    total_bits = jnp.sum(tbs, axis=1).reshape(grid_b * LANES)
-    return frame_words, total_bits
+    return frame_words, total_bits, crc

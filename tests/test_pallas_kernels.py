@@ -390,12 +390,18 @@ def test_pack_frames_tiled_matches_classic(rng):
     want_nbytes = np.asarray(want_bits) // 8
     want_bytes = np.asarray(words_to_bytes(want_words))
 
-    got_words, got_bits = pack_frames_tiled(
+    got_words, got_bits, got_crc = pack_frames_tiled(
         hdr.values, hdr.lengths, ja(kind), ja(order), ja(bps), ja(x),
         ja(taps), ja(shift), prec, ja(zz), plan, ja(wasted), psize_min,
         max_bytes, interpret=_interpret())
     got_nbytes = (np.asarray(got_bits) + 7) // 8
-    got_bytes = np.asarray(words_to_bytes(got_words))
+    # words come back byteswapped: the byte split is a free LE bitcast
+    got_bytes = np.asarray(got_words).view(np.uint8) \
+        .reshape(got_words.shape[0], -1)
+    from flacx.ops.crcfold import crc16_over_word_rows
+    want_crc = np.asarray(crc16_over_word_rows(
+        want_words, jnp.asarray(want_nbytes)))
+    np.testing.assert_array_equal(np.asarray(got_crc) & 0xFFFF, want_crc)
 
     np.testing.assert_array_equal(got_nbytes, want_nbytes)
     for i in range(b):
@@ -464,12 +470,18 @@ def test_pack_frames_tiled_segmented_matches_classic(rng):
     want_nbytes = np.asarray(want_bits) // 8
     want_bytes = np.asarray(words_to_bytes(want_words))
 
-    got_words, got_bits = pack_frames_tiled(
+    got_words, got_bits, got_crc = pack_frames_tiled(
         hdr.values, hdr.lengths, ja(kind), ja(order), ja(bps), ja(x),
         ja(taps), ja(shift), prec, ja(zz), plan, ja(wasted), psize_min,
         max_bytes, interpret=_interpret())
     got_nbytes = (np.asarray(got_bits) + 7) // 8
-    got_bytes = np.asarray(words_to_bytes(got_words))
+    # words come back byteswapped: the byte split is a free LE bitcast
+    got_bytes = np.asarray(got_words).view(np.uint8) \
+        .reshape(got_words.shape[0], -1)
+    from flacx.ops.crcfold import crc16_over_word_rows
+    want_crc = np.asarray(crc16_over_word_rows(
+        want_words, jnp.asarray(want_nbytes)))
+    np.testing.assert_array_equal(np.asarray(got_crc) & 0xFFFF, want_crc)
 
     np.testing.assert_array_equal(got_nbytes, want_nbytes)
     for i in range(b):
@@ -637,3 +649,92 @@ def test_fixed_order_sums_3d_matches_2d(rng):
     want = np.asarray(fixed_order_sums(jnp.asarray(x.reshape(-1, n)),
                                        interpret=_interpret()))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("s", [3, 11, 22])
+def test_merge_strings_odd_counts(rng, s):
+    """Non-power-of-two string stacks (round 5): odd levels pass the
+    last string through — result must equal the bit-writer ground truth."""
+    from flacx.kernels.bitpack_tile import merge_strings, merge_strings_t
+
+    f = 8
+    bits = rng.integers(0, 1400, size=(f, s)).astype(np.int32)
+    bits[:, 1] = 0
+    words = np.zeros((f, s, TILE), np.uint32)
+    payload = rng.integers(0, 1 << 32, size=(f, s, TILE), dtype=np.uint64)
+    for i in range(f):
+        for j in range(s):
+            nb = int(bits[i, j])
+            full, rem = divmod(nb, 32)
+            w = payload[i, j].astype(np.uint32).copy()
+            w[full + 1:] = 0
+            if rem:
+                w[full] &= np.uint32((0xFFFFFFFF << (32 - rem))
+                                     & 0xFFFFFFFF)
+            else:
+                w[full:] = 0
+            words[i, j] = w
+
+    # ground truth via the host bit writer
+    out_rows = 2 * TILE
+    want = np.zeros((f, out_rows), np.uint32)
+    for i in range(f):
+        bw = BitWriter()
+        for j in range(s):
+            nb = int(bits[i, j])
+            for wv in range(0, nb, 32):
+                take = min(32, nb - wv)
+                bw.write_uint(int(words[i, j, wv // 32]) >> (32 - take), take)
+        bw.pad_to_byte()
+        data = bw.getvalue() + b"\x00" * 3
+        arr = np.frombuffer(data[: out_rows * 4].ljust(out_rows * 4,
+                                                       b"\x00"),
+                            dtype=">u4").astype(np.uint32)
+        want[i] = arr
+
+    packed = merge_strings(jnp.asarray(words), jnp.asarray(bits),
+                           interpret=_interpret(), lanes=f,
+                           out_rows=out_rows)
+    np.testing.assert_array_equal(np.asarray(packed), want)
+
+    wt_t = jnp.asarray(words.reshape(f, s * TILE).T[None])
+    bits_t = jnp.asarray(bits.T[None])
+    packed_t = merge_strings_t(wt_t, bits_t, lanes=f, out_rows=out_rows,
+                               interpret=_interpret())
+    np.testing.assert_array_equal(np.asarray(packed_t)[0].T, want)
+
+    from flacx.kernels.bitpack_tile import merge_strings_t_leveled
+    packed_l = merge_strings_t_leveled(wt_t, bits_t, out_rows=out_rows,
+                                       interpret=_interpret())
+    np.testing.assert_array_equal(np.asarray(packed_l)[0].T, want)
+
+
+def test_lpc_allorder_stats_matches_stack(rng):
+    """All-orders stats kernel vs the [B,V,P,N] residual stack it
+    replaces (exact-order search, round 5)."""
+    from flacx.kernels.lpcres_tile import (allorder_stats_ok,
+                                           lpc_allorder_stats)
+    from flacx.ops.lpc import lpc_residuals_all
+    from flacx.ops.rice import zigzag
+
+    b, v, n, p, t = 32, 4, 1024, 12, 12
+    assert allorder_stats_ok(17, p << 4)
+    x = rng.integers(-(1 << 15), 1 << 15, size=(b, v, n)).astype(np.int32)
+    qcoefs = rng.integers(-16, 16, size=(b, v, p, t)).astype(np.int32)
+    order_mask = np.arange(t) < (np.arange(1, p + 1))[:, None]
+    qcoefs = qcoefs * order_mask
+    shifts = rng.integers(0, 15, size=(b, v, p)).astype(np.int32)
+
+    lzz, mab = lpc_allorder_stats(jnp.asarray(x), jnp.asarray(qcoefs),
+                                  jnp.asarray(shifts), interpret=True)
+
+    res = lpc_residuals_all(jnp.asarray(x), jnp.asarray(qcoefs),
+                            jnp.asarray(shifts), jnp.int64)
+    i_pos = np.arange(n)
+    lmask = i_pos >= np.arange(1, p + 1)[:, None]
+    want_lzz = np.asarray(jnp.sum(zigzag(res) * lmask, axis=-1,
+                                  dtype=jnp.int64))
+    want_mab = np.asarray(jnp.max(jnp.abs(res * lmask), axis=-1))
+
+    np.testing.assert_array_equal(np.asarray(lzz), want_lzz)
+    np.testing.assert_array_equal(np.asarray(mab), want_mab)
