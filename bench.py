@@ -100,7 +100,53 @@ def main() -> None:
                                scan_frame_offsets)
     from flacx.native import scan_frames, scatter_rows
 
-    def stage_rows(data: bytes, block: int, frames: int):
+    # -- chip-calibration probe (VERDICT r4 item 6): two pinned kernels
+    # with no flacx code — an MXU matmul chain and an HBM-bound
+    # elementwise pass — timed by the same slope method, so BENCH_rN →
+    # BENCH_rN+1 deltas can be read net of the shared chip's documented
+    # ~2.3× session-to-session variance (README).
+    def chip_probe() -> dict:
+        a = jnp.asarray(np.random.default_rng(7)
+                        .standard_normal((2048, 2048)), jnp.float32)
+        big = jnp.arange(16 * 1024 * 1024, dtype=jnp.int32)  # 64 MB
+
+        def mm(iters):
+            def f(x):
+                def body(i, acc):
+                    return acc @ a * jnp.float32(1e-3)
+                return jax.lax.fori_loop(0, iters, body, x)
+            return jax.jit(f)
+
+        def hbm(iters):
+            def f(x):
+                def body(i, acc):
+                    return acc + (acc >> 7) + i
+                return jax.lax.fori_loop(0, iters, body, x)
+            return jax.jit(f)
+
+        out = {}
+        for name, mk, lo, hi in (("matmul", mm, 4, 24),
+                                 ("hbm", hbm, 8, 72)):
+            fs, fb = mk(lo), mk(hi)
+            x0 = a if name == "matmul" else big
+            jax.block_until_ready(fs(x0))
+            jax.block_until_ready(fb(x0))
+            dt_p = None
+            for _ in range(3):
+                t0 = time.time()
+                jax.block_until_ready(fs(x0))
+                ts = time.time() - t0
+                t0 = time.time()
+                jax.block_until_ready(fb(x0))
+                tb = time.time() - t0
+                d = (tb - ts) / (hi - lo)
+                dt_p = d if dt_p is None else min(dt_p, d)
+            out[f"chip_probe_{name}_ms"] = round(dt_p * 1e3, 4)
+        return out
+
+    probe = chip_probe()
+
+    def stage_rows(data: bytes, block: int, frames: int, ch: int = 2):
         _, first_ = parse_stream_header(data)
         offsets = scan_frame_offsets(data, first_, block_size=block)
         assert len(offsets) == frames
@@ -110,23 +156,27 @@ def main() -> None:
         width = (int(dlens.max()) + 255) // 256 * 256
         return scatter_rows(arr_, offsets, ends_, width), dlens
 
-    def time_device_decode(data: bytes, state_ss: int = 0) -> float:
+    def time_device_decode(data: bytes, state_ss: int = 0,
+                           block: int | None = None, frames: int | None
+                           = None, ch: int = 2, bps: int = 16) -> float:
         """Samples/s of the fused rows→PCM program (slope method)."""
-        rows8, dlens = stage_rows(data, n, b)
-        scan = scan_frames(rows8, np.zeros(b, np.int64), n, 2, 16,
+        nn = n if block is None else block
+        bb = b if frames is None else frames
+        rows8, dlens = stage_rows(data, nn, bb, ch)
+        scan = scan_frames(rows8, np.zeros(bb, np.int64), nn, ch, bps,
                            state_interval=state_ss)
         t_bucket = next(x for x in (4, 8, 12, 16, 32)
                         if x >= max(4, int(scan.order.max())))
-        use_i32 = 17 + max(int(np.abs(scan.taps).sum(-1).max()),
-                           1).bit_length() + 2 <= 31
+        use_i32 = (bps + 1 + max(int(np.abs(scan.taps).sum(-1).max()),
+                                 1).bit_length() + 2 <= 31)
         span = 64 + int(np.diff(scan.ckpt_pos, axis=-1).max())
         sw = next(x for x in (8, 12, 16, 24, 32, 48, 64, 96, 128)
                   if x >= span // 32 + 4)
         fixed_max = (int(scan.order.max())
                      if bool((scan.kind <= 2).all()) else None)
         eff_ss = 0 if fixed_max is not None else state_ss
-        dfn = _device_decode_fn(n, 2, 16, scan.ckpt_interval, t_bucket, sw,
-                                use_i32, True, fixed_max=fixed_max,
+        dfn = _device_decode_fn(nn, ch, bps, scan.ckpt_interval, t_bucket,
+                                sw, use_i32, True, fixed_max=fixed_max,
                                 state_ss=eff_ss)
         host_args = [rows8, dlens.astype(np.int32), scan.channel_code,
                      scan.kind, scan.order, scan.shift, scan.wasted,
@@ -176,7 +226,7 @@ def main() -> None:
             td_big = time.time() - t0
             d = (td_big - td_small) / 8
             dt_d = d if dt_d is None else min(dt_d, d)
-        return n * b * 2 / dt_d
+        return nn * bb * ch / dt_d
 
     dec_sps = time_device_decode(stream, state_ss=512)
 
@@ -398,6 +448,11 @@ def main() -> None:
             return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
         return jax.jit(fn)
 
+    # hi-res DECODE (VERDICT r4 item 3): block 16384 / order ≤32 / 24-bit
+    # through the same chunk-parallel device decode program
+    hires_dec_sps = time_device_decode(stream_h, state_ss=512, block=nh,
+                                       frames=bh, ch=2, bps=24)
+
     fh_small, fh_big = many_h(2), many_h(6)
     int(fh_small(planar_h, jnp.int64(10)))   # warm
     int(fh_big(planar_h, jnp.int64(20)))
@@ -454,6 +509,7 @@ def main() -> None:
             # double counting means the implied rate can exceed peak)
             "xla_traffic_ratio": round(hbm_bytes / sol_bytes, 1)
             if hbm_bytes else None,
+            **probe,
             "hires": {
                 "config": "24-bit/96kHz stereo, LPC<=32, block 16384, "
                           "partition orders 0..15 (0..14 legal), "
@@ -462,6 +518,7 @@ def main() -> None:
                 "ms_per_batch": round(dth * 1e3, 2),
                 "realtime_x": round(hires_sps / (2 * 96_000.0), 1),
                 "compression_ratio": round(ratio_h, 4),
+                "decode_device_samples_per_s": round(hires_dec_sps, 1),
             },
         },
     }))

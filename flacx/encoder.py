@@ -239,7 +239,8 @@ class EncoderConfig:
         side = 1 if self.use_stereo_modes else 0
         bits = (16 * 8 + self.channels * (8 + self.block_size *
                                           (self.bps + side)) + 64)
-        return ((bits // 8 + 2) + 127) // 128 * 128
+        # 256-aligned so frames pack into whole compaction chunks
+        return ((bits // 8 + 2) + 255) // 256 * 256
 
 
 # ---------------------------------------------------------------------------
@@ -257,6 +258,16 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
     stage-level profiling.
     """
     n = cfg.block_size
+    b_in = pcm.shape[0]
+    if (jax.default_backend() == "tpu" and b_in % 128 != 0
+            and _stop_after is None):
+        # pad ragged batches to the 128-lane tile quantum so odd final
+        # batches (and small batch_frames) keep the kernel-resident
+        # fast paths; pad frames are all-zero (constant subframes) and
+        # their outputs are sliced off below
+        pcm = jnp.concatenate(
+            [pcm, jnp.zeros(((-b_in) % 128, *pcm.shape[1:]), pcm.dtype)],
+            axis=0)
     b = pcm.shape[0]
     p = cfg.max_lpc_order
     t = cfg.max_taps
@@ -309,7 +320,7 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
                  or emit.segmented_layout(n, psize_min) is not None)
     use_tile_emit = (jax.default_backend() == "tpu" and wdt == jnp.int32
                      and layout_ok
-                     and b % 128 == 0 and c_static <= 2
+                     and b % 128 == 0 and c_static <= 8
                      and cfg.eff_bps <= 31 and _stop_after is None)
     if (jax.default_backend() == "tpu" and not use_tile_emit
             and _stop_after is None):
@@ -321,7 +332,7 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
             (layout_ok, f"slot layout untileable (n={n}, "
                         f"psize_min={psize_min})"),
             (b % 128 == 0, f"batch {b} not a multiple of 128"),
-            (c_static <= 2, f"{c_static} channels > 2"),
+            (c_static <= 8, f"{c_static} channels > 8"),
             (cfg.eff_bps <= 31, f"eff_bps {cfg.eff_bps} > 31"),
         ] if not ok]
         logging.getLogger("flacx").info(
@@ -730,17 +741,37 @@ def _encode_batch(cfg: EncoderConfig, pcm: jnp.ndarray,
                             (crc[:, None] & 0xFF).astype(jnp.uint8),
                             frame_bytes)
 
-    return {
+    out = {
         "bytes": frame_bytes,
         "length": nbytes + 2,
         "kind": kind,
         "channel_code": ch_code,
         "subframe_bits": sub_bits,
     }
+    if b != b_in:                   # drop the 128-lane pad frames
+        out = {k: v[:b_in] for k, v in out.items()}
+    return out
 
 
 # ---------------------------------------------------------------------------
 # Host-facing driver
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_encode(config: EncoderConfig, sharding):
+    """One jitted pipeline per (config, sharding) — a stable callable
+    identity so repeated ``BatchEncoder`` construction (one per file in
+    corpus/CLI use) hits jax's pjit cache instead of re-tracing the
+    whole pipeline (~seconds per trace at batch 1024)."""
+    if config.conformance:
+        from flacx.conformance import encode_batch_conformance
+        fn = functools.partial(encode_batch_conformance, config)
+    else:
+        fn = functools.partial(_encode_batch, config)
+    kwargs = {}
+    if sharding is not None:
+        kwargs["in_shardings"] = (sharding, None)
+    return jax.jit(fn, **kwargs)
 
 
 class BatchEncoder:
@@ -750,20 +781,16 @@ class BatchEncoder:
                  sharding=None):
         self.config = config
         self.batch_frames = batch_frames
-        if config.conformance:
-            from flacx.conformance import encode_batch_conformance
-            fn = functools.partial(encode_batch_conformance, config)
-        else:
-            fn = functools.partial(_encode_batch, config)
-        kwargs = {}
-        if sharding is not None:
-            kwargs["in_shardings"] = (sharding, None)
-        self._fn = jax.jit(fn, **kwargs)
+        self._fn = _jitted_encode(config, sharding)
 
     def encode_batch_device(self, pcm: np.ndarray, first_index: int) -> dict:
-        """Run the device pipeline; pcm int32 ``[B, channels, N]``."""
-        return self._fn(jnp.asarray(pcm, jnp.int32),
-                        jnp.int64(first_index))
+        """Run the device pipeline; pcm ``[B, channels, N]`` int32 — or
+        int16 when ``bps <= 16`` (halves the host→device PCM transfer;
+        the pipeline's first op upcasts in VMEM)."""
+        arr = jnp.asarray(pcm)
+        if arr.dtype != jnp.int16 or self.config.bps > 16:
+            arr = arr.astype(jnp.int32)
+        return self._fn(arr, jnp.int64(first_index))
 
     def encode_batch_indexed(self, pcm: np.ndarray,
                              frame_indices: np.ndarray) -> dict:
@@ -782,6 +809,18 @@ class BatchEncoder:
         """Fetch one finished device batch and assemble its frame bytes."""
         from flacx.native import assemble_frames
         result, valid = entry
+        if "overflow" not in result and stats is None:
+            # narrow-fetch fast path: get the frame lengths first, then
+            # only the columns up to this batch's LONGEST frame (bucketed
+            # to 1 KiB so slice programs stay cached) — the padded
+            # [B, max_frame_bytes] rectangle is sized for the worst legal
+            # frame, typically ~1.5× the realized maximum, and the
+            # device→host fetch is the e2e wall on link-bound hosts
+            lens = np.asarray(result["length"])[:valid]
+            full = result["bytes"].shape[-1]
+            w = min(full, (int(lens.max()) + 1023) // 1024 * 1024)
+            data = np.asarray(result["bytes"][:, :w])[:valid]
+            return assemble_frames(data, lens)
         data = np.asarray(result["bytes"])
         lens = np.asarray(result["length"])
         if "overflow" in result and chunk is not None:
@@ -833,30 +872,36 @@ class BatchEncoder:
         (SURVEY.md §5 metrics row): subframe-kind and stereo-mode
         histograms plus total frame bytes.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         bsz = self.batch_frames
         keep_pcm = self.config.conformance
-        pending: list[tuple[tuple[dict, int], np.ndarray | None, int]] = []
         index = first_index
-        for chunk in batches:
-            valid = chunk.shape[0]
-            if valid > bsz:
-                raise ValueError(f"batch group of {valid} frames exceeds "
-                                 f"batch_frames={bsz}")
-            if valid < bsz:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((bsz - valid, *chunk.shape[1:]),
-                                     chunk.dtype)], axis=0)
-            result = self.encode_batch_device(chunk, index)
-            pending.append(((result, valid), chunk if keep_pcm else None,
-                            index))
-            index += valid
-            # keep at most one batch in flight to overlap host assembly
-            if len(pending) > 1:
-                entry, pcm_c, idx0 = pending.pop(0)
-                yield from self._drain(entry, stats, pcm_c, idx0)
-        while pending:
-            entry, pcm_c, idx0 = pending.pop(0)
-            yield from self._drain(entry, stats, pcm_c, idx0)
+        # the drain (device→host fetch + row concat) runs on a worker
+        # thread: the fetch is link-wait, so the producer's own host work
+        # (PCM staging, MD5, file writes in the consumer of this
+        # generator) overlaps it — the double-buffering VERDICT r4 asked
+        # for, at two device batches in flight
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            futures = []
+            for chunk in batches:
+                valid = chunk.shape[0]
+                if valid > bsz:
+                    raise ValueError(f"batch group of {valid} frames "
+                                     f"exceeds batch_frames={bsz}")
+                if valid < bsz:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((bsz - valid, *chunk.shape[1:]),
+                                         chunk.dtype)], axis=0)
+                result = self.encode_batch_device(chunk, index)
+                futures.append(pool.submit(
+                    self._drain, (result, valid), stats,
+                    chunk if keep_pcm else None, index))
+                index += valid
+                if len(futures) > 2:
+                    yield from futures.pop(0).result()
+            for fut in futures:
+                yield from fut.result()
 
     def encode_frames(self, pcm: np.ndarray, first_index: int,
                       stats: dict | None = None) -> list[bytes]:

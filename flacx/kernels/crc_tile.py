@@ -30,31 +30,32 @@ from flacx.format import CRC16_POLYNOMIAL
 from flacx.ops.crcfold import power_table
 
 LANES = 128
+RCHUNK = 512        # word rows folded per grid step (bounds VMEM)
 
 
-def _crc_kernel(r: int, le: bool, w_ref, k4_ref, out_ref):
-    w = w_ref[0]                                 # [r, L] u32
+def _crc_kernel(rchunk: int, nr: int, le: bool, w_ref, k4_ref, out_ref):
+    j = pl.program_id(1)
+    w = w_ref[0]                                 # [rchunk, L] u32
     prod = jnp.zeros_like(w)
-    for j in range(4):
-        kj = k4_ref[0, :, j: j + 1]              # [r, 1] u32
-        sh = 8 * j if le else 8 * (3 - j)
+    for b in range(4):
+        kj = k4_ref[0, :, b: b + 1]              # [rchunk, 1] u32
+        sh = 8 * b if le else 8 * (3 - b)
         for t in range(8):
             bit = (w >> (sh + t)) & jnp.uint32(1)
             prod = prod ^ ((kj << t) * bit)
-    # xor-reduce rows (pad odd levels with a zero row)
-    rows = r
+    rows = rchunk
     while rows > 1:
-        if rows % 2:
-            prod = jnp.concatenate(
-                [prod, jnp.zeros((1, prod.shape[-1]), jnp.uint32)], axis=0)
-            rows += 1
         prod = prod[: rows // 2] ^ prod[rows // 2:]
         rows //= 2
-    total = prod                                  # [1, L], ≤ 23 bits
+    # accumulate the chunk partial across grid steps (sequential grid
+    # revisits the same out block), Barrett-reduce on the last step
+    acc = jnp.where(j == 0, jnp.uint32(0), out_ref[0, 0:1, :]) ^ prod
+    total = acc                                   # [1, L], ≤ 23 bits
     for t in range(22, 15, -1):
         bit = (total >> t) & jnp.uint32(1)
         total = total ^ (jnp.uint32(CRC16_POLYNOMIAL << (t - 16)) * bit)
-    out_ref[0] = jnp.broadcast_to(total, (8, total.shape[-1]))
+    out = jnp.where(j == nr - 1, total, acc)
+    out_ref[0] = jnp.broadcast_to(out, (8, out.shape[-1]))
 
 
 @functools.partial(jax.jit, static_argnames=("le", "interpret"))
@@ -64,7 +65,8 @@ def crc16_packed_t(packed: jnp.ndarray, le: bool = True,
 
     Args:
       packed: ``[G, rows, LANES]`` u32 — each lane a frame's packed
-        words, zero past the frame's byte length.
+        words (``rows`` a multiple of 512), zero past the frame's byte
+        length.
       le: byte order WITHIN each u32 — True when the merge kernels
         byteswapped for the little-endian byte split, False for
         MSB-first words.
@@ -73,24 +75,26 @@ def crc16_packed_t(packed: jnp.ndarray, le: bool = True,
       (caller applies the zero-tail inverse-power fix per true length).
     """
     g, r, l = packed.shape
+    assert r % RCHUNK == 0
+    nr = r // RCHUNK
     tab = power_table(16, CRC16_POLYNOMIAL, r * 4 + 1)
     k4 = np.zeros((r, 8), np.uint32)
     idx = np.arange(r * 4)
     k4[:, :4] = tab[r * 4 - 1 - idx].reshape(r, 4)
     out = pl.pallas_call(
-        functools.partial(_crc_kernel, r, le),
-        grid=(g,),
+        functools.partial(_crc_kernel, RCHUNK, nr, le),
+        grid=(g, nr),
         in_specs=[
-            pl.BlockSpec((1, r, l), lambda i: (i, i - i, i - i),
+            pl.BlockSpec((1, RCHUNK, l), lambda i, j: (i, j, j - j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, 8), lambda i: (i - i, i - i, i - i),
+            pl.BlockSpec((1, RCHUNK, 8), lambda i, j: (i - i, j, j - j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, l), lambda i: (i, i - i, i - i),
+        out_specs=pl.BlockSpec((1, 8, l), lambda i, j: (i, j - j, j - j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, 8, l), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(packed, jnp.asarray(k4)[None])
+    )(packed, jnp.asarray(k4.reshape(1, nr * RCHUNK, 8)))
     return out[:, 0, :].reshape(g * l)

@@ -231,8 +231,6 @@ def _level_rows(psizes: tuple, t: int) -> tuple[dict, int]:
     return offs, row
 
 
-@functools.partial(jax.jit, static_argnames=("porders", "kmax",
-                                             "interpret"))
 def rice_stats_tiles(zz: jnp.ndarray, order: jnp.ndarray,
                      porders: tuple, kmax: int,
                      interpret: bool = False) -> RiceKernelStats:

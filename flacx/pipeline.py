@@ -68,6 +68,10 @@ def encode_chunks_to_file(f: BinaryIO, chunks, *, sample_rate: int,
     batch_samples = block_size * batch_frames
     state = {"seen": 0, "tail": None}
 
+    # int16 device staging for ≤16-bit content: halves the host→device
+    # PCM bytes (the pipeline's first op upcasts in VMEM)
+    stage_dt = np.int16 if bps <= 16 else np.int32
+
     def full_block_batches():
         """Cut the chunk stream into [F<=batch, C, N] planar batches."""
         buf = np.zeros((0, channels), np.int32)
@@ -81,12 +85,13 @@ def encode_chunks_to_file(f: BinaryIO, chunks, *, sample_rate: int,
             while buf.shape[0] >= batch_samples:
                 cut, buf = buf[:batch_samples], buf[batch_samples:]
                 yield (cut.reshape(batch_frames, block_size, channels)
-                       .transpose(0, 2, 1))
+                       .transpose(0, 2, 1).astype(stage_dt))
         n_left = buf.shape[0] // block_size
         state["tail"] = buf[n_left * block_size:]
         if n_left:
             yield (buf[: n_left * block_size]
-                   .reshape(n_left, block_size, channels).transpose(0, 2, 1))
+                   .reshape(n_left, block_size, channels)
+                   .transpose(0, 2, 1).astype(stage_dt))
 
     if device:
         from flacx.encoder import BatchEncoder, EncoderConfig

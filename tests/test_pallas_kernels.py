@@ -335,9 +335,11 @@ def test_transposed_merge_variants_match_classic(rng):
         np.asarray(packed_t)[0].T, np.asarray(packed))
 
 
-def test_pack_frames_tiled_matches_classic(rng):
+@pytest.mark.parametrize("c,n", [(2, 4608), (4, 4608)])
+def test_pack_frames_tiled_matches_classic(rng, c, n):
     """The kernel-resident emit→pack path must produce byte-identical
-    frames to emit.subframe_symbols + pack_symbols_words."""
+    frames to emit.subframe_symbols + pack_symbols_words (2-channel
+    headline shape and a 4-channel layout — the c ≤ 8 gate, round 5)."""
     from flacx.ops import rice
     from flacx.ops.bitpack import pack_symbols_words, words_to_bytes
     from flacx.ops.emit import (KIND_CONSTANT, KIND_FIXED, KIND_LPC,
@@ -345,10 +347,10 @@ def test_pack_frames_tiled_matches_classic(rng):
     from flacx.ops.headers import frame_header_symbols
     from flacx.ops.tilepack import pack_frames_tiled
 
-    b, c, n, psize_min, t, prec = 128, 2, 4608, 144, 12, 5
+    b, psize_min, t, prec = 128, 144, 12, 5
     kind = rng.integers(0, 4, size=(b, c)).astype(np.int32)
-    kind[0] = [KIND_CONSTANT, KIND_VERBATIM]
-    kind[1] = [KIND_FIXED, KIND_LPC]
+    kind[0, :2] = [KIND_CONSTANT, KIND_VERBATIM]
+    kind[1, :2] = [KIND_FIXED, KIND_LPC]
     order = np.where(kind == KIND_FIXED, rng.integers(0, 5, size=(b, c)),
                      0).astype(np.int32)
     order = np.where(kind == KIND_LPC,
