@@ -8,7 +8,9 @@ Two harnesses, both fully seeded and CI-sized:
   decoder (/root/reference, when present) — all three must return the
   original PCM exactly.  Config pool is static (each unique config is one
   XLA compile); randomness lives in the PCM and in which config each
-  round draws, giving ~1000 fuzzed frames in CI time.
+  round draws.  The harness COUNTS the frames it fuzzed and asserts the
+  total exceeds 1000 per run (round 5: the r4 docstring claimed ~1000
+  while delivering ~130).
 
 * **Corruption fuzz**: random bit flips, byte stomps, truncations and
   splices of valid streams must NEVER crash or hang either
@@ -43,6 +45,9 @@ CONFIG_POOL = (
     dict(block_size=256, max_lpc_order=6, bps=24),
     dict(block_size=256, max_lpc_order=8, bps=16,
          windows=("tukey(0.5)", "hann", "flattop")),
+    # wasted-bits grammar (spec-correct; the reference decoder misparses
+    # the wasted-bits unary, so the differential reference check skips it)
+    dict(block_size=256, max_lpc_order=6, bps=16, wasted_bits=True),
 )
 
 PCM_KINDS = ("tonal", "noise", "impulse", "silence")
@@ -111,15 +116,37 @@ def _reference_decode(data: bytes) -> np.ndarray | None:
     return np.array([list(s) for s in samples], np.int64)
 
 
+class DribbleIO(io.RawIOBase):
+    """File object returning random short reads — fuzzes the streaming
+    decoder's window refill/boundary logic."""
+
+    def __init__(self, data: bytes, rng: np.random.Generator):
+        self._b = io.BytesIO(data)
+        self._rng = rng
+
+    def readable(self):
+        return True
+
+    def read(self, size=-1):
+        if size is None or size < 0:
+            return self._b.read(size)
+        cut = int(self._rng.integers(1, 97))
+        return self._b.read(min(size, cut))
+
+
 def test_differential_fuzz(encoders):
     """Random PCM × config pool: flacx bytes decode identically on every
-    independent decoder (batched, strict oracle, upstream reference)."""
+    independent decoder (batched, strict oracle, upstream reference),
+    with ``decode_stream`` additionally driven through randomly-sized
+    short reads (window-boundary fuzz)."""
     rng = np.random.default_rng(0xFFACCED)
     ref_budget = 3        # reference decoder is ~0.4x realtime; sample it
-    rounds = 36
+    rounds = 96
+    frames_fuzzed = 0
     for round_i in range(rounds):
         cfg, enc = encoders[int(rng.integers(len(encoders)))]
-        nframes = int(rng.integers(2, 6))
+        nframes = int(rng.integers(6, 17))
+        frames_fuzzed += nframes
         pcm = _rand_pcm(rng, nframes * cfg.block_size, cfg.bps)
         data = _encode(cfg, enc, pcm)
 
@@ -127,19 +154,29 @@ def test_differential_fuzz(encoders):
         np.testing.assert_array_equal(got, pcm, err_msg=f"round {round_i}")
 
         # strict oracle cross-check on a sample of rounds
-        if round_i % 6 == 0:
+        if round_i % 12 == 0:
             *_, rows = oracle_decode_stream(io.BytesIO(data))
             oracle = np.array([r for r in rows], np.int64)
             np.testing.assert_array_equal(oracle, pcm)
 
-        # upstream reference decode on a budgeted sample (skip silence-
-        # heavy configs only if reference missing)
-        if ref_budget > 0 and round_i % 12 == 0:
+        # streaming decode through dribbled short reads
+        if round_i % 5 == 0:
+            si2, chunks = decode_stream(DribbleIO(data, rng),
+                                        batch_frames=4)
+            got2 = np.concatenate([np.asarray(c) for c in chunks])
+            np.testing.assert_array_equal(got2, pcm,
+                                          err_msg=f"dribble {round_i}")
+
+        # upstream reference decode on a budgeted sample (never for the
+        # wasted-bits config: the reference decoder misparses that
+        # grammar, SURVEY.md known-deviations)
+        if ref_budget > 0 and round_i % 12 == 0 and not cfg.wasted_bits:
             ref = _reference_decode(data)
             if ref is None:
                 pytest.skip("/root/reference unavailable")
             np.testing.assert_array_equal(ref, pcm)
             ref_budget -= 1
+    assert frames_fuzzed >= 1000, frames_fuzzed
 
 
 def _check_clean(data: bytes) -> None:
@@ -156,13 +193,40 @@ def _check_clean(data: bytes) -> None:
         pass
 
 
-def test_corruption_fuzz_bitflips(encoders):
-    """Random single/multi bit flips anywhere in a valid stream."""
-    rng = np.random.default_rng(0xBADB17)
-    cfg, enc = encoders[0]
+@pytest.mark.parametrize("pool_i", range(len(CONFIG_POOL)))
+def test_corruption_fuzz_bitflips(encoders, pool_i):
+    """Random single/multi bit flips anywhere in a valid stream — for
+    EVERY grammar the encoder can emit (round 5: r4 corrupted only
+    CONFIG_POOL[0], leaving 24-bit, wasted-bits, escape and multi-window
+    streams un-corrupted)."""
+    rng = np.random.default_rng(0xBADB17 + pool_i)
+    cfg, enc = encoders[pool_i]
     pcm = _rand_pcm(rng, 4 * cfg.block_size, cfg.bps)
     base = bytearray(_encode(cfg, enc, pcm))
-    for _ in range(300):
+    for _ in range(120):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(len(data)))
+            data[pos] ^= 1 << int(rng.integers(8))
+        _check_clean(bytes(data))
+
+
+def test_corruption_fuzz_variable_blocking():
+    """Bit flips over a VARIABLE blocking-strategy stream (sample-number
+    coded numbers, mixed block sizes)."""
+    from flacx.oracle.encoder import EncoderParameters, \
+        encode_stream_variable
+
+    rng = np.random.default_rng(0x5AB1E)
+    sizes = [512, 512, 512, 384, 256]
+    total = sum(sizes)
+    t = np.arange(total)
+    pcm = np.stack([(6000 * np.sin(0.031 * t)).astype(np.int64),
+                    (6000 * np.sin(0.027 * t + 1)).astype(np.int64)], 1)
+    params = EncoderParameters()
+    base = b"".join(encode_stream_variable(
+        44100, 16, 2, pcm.tolist(), params, sizes))
+    for _ in range(120):
         data = bytearray(base)
         for _ in range(int(rng.integers(1, 4))):
             pos = int(rng.integers(len(data)))
@@ -210,3 +274,48 @@ def test_corruption_fuzz_pure_garbage():
         if i % 2:
             data = MAGIC + data
         _check_clean(data)
+
+
+def test_scan_ambiguity_fake_sync_candidates():
+    """Duplicate-coded-number ambiguity for the boundary-scan resolver:
+    a real frame header (valid sync + CRC-8, DUPLICATE frame number) is
+    embedded byte-for-byte inside a later frame's verbatim payload —
+    full-scale noise makes every subframe verbatim, whose 16-bit
+    samples are byte-aligned, so arbitrary bytes can be planted.  The
+    scan must report the fake as a candidate (asserted) and the chain
+    resolver must still pick the true boundaries and decode exactly."""
+    from flacx.native import scan_candidates
+
+    cfg = EncoderConfig(block_size=256, max_lpc_order=4,
+                        stereo="independent")
+    enc = BatchEncoder(cfg, batch_frames=8)
+    n = cfg.block_size
+    rng = np.random.default_rng(0xA3B)
+    nframes = 24
+    pcm = rng.integers(-(1 << 15), 1 << 15,
+                       size=(nframes * n, 2)).astype(np.int32)
+
+    # first pass: grab frame 2's header bytes (incl. its CRC-8)
+    planar = pcm.reshape(nframes, n, 2).transpose(0, 2, 1)
+    frames = enc.encode_frames(np.ascontiguousarray(planar), 0)
+    fake = bytes(frames[2][:6])          # FF F8 bs/rate ch/size num crc8
+    assert fake[0] == 0xFF
+
+    # embed it in frame 10, channel 0, samples 8..10 (verbatim payload
+    # is big-endian 16-bit at byte offset 7 of the frame)
+    vals = np.frombuffer(fake, np.uint8).reshape(3, 2)
+    samp = (vals[:, 0].astype(np.int32) << 8) | vals[:, 1]
+    samp = np.where(samp >= 1 << 15, samp - (1 << 16), samp)
+    pcm2 = pcm.copy()
+    pcm2[10 * n + 8: 10 * n + 11, 0] = samp
+    data = _encode(cfg, enc, pcm2)
+    assert fake in data[len(data) // 3:]       # planted in a later frame
+
+    cand = scan_candidates(np.frombuffer(data, np.uint8), 0)
+    assert cand is not None and len(cand[0]) > nframes, \
+        "fake candidate not seen by the scan"
+    si, got = decode_array(data, batch_frames=8)
+    np.testing.assert_array_equal(got, pcm2)
+    *_, rows = oracle_decode_stream(io.BytesIO(data))
+    oracle = np.array([r for r in rows], np.int64)
+    np.testing.assert_array_equal(oracle, pcm2)
