@@ -741,3 +741,66 @@ def test_sample_size_override_batch_decode(rng, monkeypatch):
     si12, got12 = dec.decode_array(stream12, batch_frames=8)
     want12 = np.clip(pcm_all, -(1 << 11), (1 << 11) - 1)
     np.testing.assert_array_equal(got12, want12)
+
+
+def test_frame_headers_rate_override_metadata(rng):
+    """Frames whose RATE field contradicts Streaminfo must surface their
+    own per-frame metadata (reference header objects,
+    flac/decoder.py:133-229) while the PCM still decodes bit-exactly —
+    payload math is rate-independent (VERDICT r4 item 8)."""
+    import numpy as np
+    from flacx.crc import crc8, crc16
+    from flacx.decoder import decode_array, frame_headers, \
+        scan_frame_offsets, parse_stream_header
+    from flacx.encoder import BatchEncoder, EncoderConfig
+    from flacx.format import (MAGIC, MetadataBlockType, Streaminfo,
+                              SAMPLE_RATE_ENCODING)
+    from flacx.oracle.encoder import (serialize_metadata_header,
+                                      serialize_streaminfo)
+    from conftest import make_pcm
+
+    cfg = EncoderConfig(block_size=256, max_lpc_order=4)
+    n, f = cfg.block_size, 6
+    enc = BatchEncoder(cfg, batch_frames=f)
+    pcm = make_pcm(rng, f * n, 2, 16, "tonal").astype(np.int32)
+    planar = np.ascontiguousarray(
+        pcm.reshape(f, n, 2).transpose(0, 2, 1))
+    frames = enc.encode_frames(planar, 0)
+    stream = (MAGIC
+              + serialize_metadata_header(True,
+                                          MetadataBlockType.Streaminfo, 34)
+              + serialize_streaminfo(Streaminfo(n, n, 0, 0, 44100, 2, 16,
+                                                f * n, bytes(16)))
+              + b"".join(frames))
+
+    # baseline: all frames report the streaminfo rate
+    fh0 = frame_headers(stream)
+    assert (fh0["sample_rate"] == 44100).all()
+    assert (fh0["block_size"] == n).all()
+    assert (fh0["bps"] == 16).all()
+
+    # hand-patch every frame header's rate nibble to 48 kHz and repair
+    # the header CRC-8 and frame CRC-16
+    data = bytearray(stream)
+    _, first = parse_stream_header(stream)
+    offs = scan_frame_offsets(stream, first).tolist()
+    ends = offs[1:] + [len(stream)]
+    for off, end in zip(offs, ends):
+        data[off + 2] = (data[off + 2] & 0xF0) | SAMPLE_RATE_ENCODING[48000]
+        # common forms + 1-byte coded number → 5 header bytes, CRC-8 next
+        assert data[off + 4] < 0x80
+        data[off + 5] = crc8(bytes(data[off: off + 5]))
+        c16 = crc16(bytes(data[off: end - 2]))
+        data[end - 2] = c16 >> 8
+        data[end - 1] = c16 & 0xFF
+    patched = bytes(data)
+
+    fh = frame_headers(patched)
+    assert fh["offset"].tolist() == offs
+    assert (fh["sample_rate"] == 48000).all()
+    assert (fh["bps"] == 16).all()
+    assert fh["number"].tolist() == list(range(f))
+    assert (fh["blocking_strategy"] == 0).all()
+
+    _, got = decode_array(patched, batch_frames=f)
+    np.testing.assert_array_equal(got, pcm)
