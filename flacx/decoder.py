@@ -481,7 +481,11 @@ def _decode_rows_device(rows: np.ndarray, lens: np.ndarray, n: int, c: int,
     state_ss = 0
     if (bps + (1 if c == 2 else 0) <= 31
             and (_os.cpu_count() or 1) >= CHUNK_STATE_MIN_CORES):
-        state_ss = 512 if n >= 4096 else max(64, n // 8)
+        # 256 measured fastest on the headline LPC-12 signal (r5 sweep:
+        # 512 -> 1.26 B, 256 -> 1.37 B, 128 -> 1.33 B samples/s): halving
+        # the serial scan depth beats the extra checkpoint lanes until
+        # walker output doubles again
+        state_ss = 256 if n >= 2048 else max(64, n // 8)
         if n <= state_ss:
             state_ss = 0
     scan = scan_frames(rows, np.zeros(f, np.int64), n, c, bps,

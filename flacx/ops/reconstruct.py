@@ -39,7 +39,12 @@ def reconstruct_predicted(residual: jnp.ndarray, taps: jnp.ndarray,
     t = taps.shape[-1]
     n = residual.shape[-1]
     lead = residual.shape[:-1]
-    taps_w = taps[..., ::-1].astype(dtype)
+    # window carried TRANSPOSED ([t, ...lead]): with taps on the MINOR
+    # axis the per-step arrays tile at ~t/128 lane utilization and the
+    # sliding-window shift rewrites that padded layout every step —
+    # measured as the bulk of the 1.6x mixed-vs-fixed decode gap
+    # (COMPONENTS.md round-5 note); lanes-minor tiles are full
+    taps_wt = jnp.moveaxis(taps[..., ::-1].astype(dtype), -1, 0)
     shift_w = shift.astype(dtype)
     # Feed residuals as scan inputs ([n, ...lead] layout) rather than
     # dynamic-slicing residual[..., i] each step: the per-step slice copy
@@ -47,15 +52,15 @@ def reconstruct_predicted(residual: jnp.ndarray, taps: jnp.ndarray,
     # ~11 ms decode batch; the xs form measures 2.6 vs 4.5 ms/batch).
     res_t = jnp.moveaxis(residual.astype(dtype), -1, 0)
 
-    # state: window of the last T samples, window[..., -1] = x[i-1]
-    win0 = jnp.zeros((*lead, t), dtype)
+    # state: window of the last T samples, window[-1] = x[i-1]
+    win0 = jnp.zeros((t, *lead), dtype)
 
     def step(win, xin):
         r, i = xin
-        acc = jnp.sum(win * taps_w, axis=-1, dtype=dtype)
+        acc = jnp.sum(win * taps_wt, axis=0, dtype=dtype)
         pred = jnp.right_shift(acc, shift_w)
         x = r + jnp.where(i >= order, pred, 0)
-        win = jnp.concatenate([win[..., 1:], x[..., None]], axis=-1)
+        win = jnp.concatenate([win[1:], x[None]], axis=0)
         return win, x
 
     # Stay in the working dtype: the int32 fast path keeps every
@@ -100,8 +105,8 @@ def reconstruct_predicted_chunks(residual: jnp.ndarray, taps: jnp.ndarray,
     ss = state_interval
     ks = state.shape[-2]
     n_pad = ks * ss
-    taps_w = jnp.broadcast_to(taps[..., None, ::-1].astype(dtype),
-                              (f, c, ks, t)).reshape(f * c * ks, t)
+    taps_wt = jnp.broadcast_to(taps[..., None, ::-1].astype(dtype),
+                               (f, c, ks, t)).reshape(f * c * ks, t).T
     shift_w = jnp.broadcast_to(shift[..., None].astype(dtype),
                                (f, c, ks)).reshape(-1)
     order_w = jnp.broadcast_to(order[..., None], (f, c, ks)).reshape(-1)
@@ -117,14 +122,15 @@ def reconstruct_predicted_chunks(residual: jnp.ndarray, taps: jnp.ndarray,
     # every scan step reads one perfectly tiled vector
     res_t = jnp.moveaxis(res.reshape(f, c, ks, ss), -1, 0).reshape(ss, -1)
 
-    win0 = state[..., 32 - t:].astype(dtype).reshape(f * c * ks, t)
+    # transposed window carry (lanes-minor) — see reconstruct_predicted
+    win0 = state[..., 32 - t:].astype(dtype).reshape(f * c * ks, t).T
 
     def step(win, xin):
         r, i = xin
-        acc = jnp.sum(win * taps_w, axis=-1, dtype=dtype)
+        acc = jnp.sum(win * taps_wt, axis=0, dtype=dtype)
         pred = jnp.right_shift(acc, shift_w)
         x = r + jnp.where(base + i >= order_w, pred, 0)
-        win = jnp.concatenate([win[..., 1:], x[..., None]], axis=-1)
+        win = jnp.concatenate([win[1:], x[None]], axis=0)
         return win, x
 
     _, xs = jax.lax.scan(step, win0, (res_t, jnp.arange(ss)), unroll=unroll)
