@@ -14,11 +14,15 @@ import os
 # env vars can be too late — the jax.config API below still works as long
 # as no computation has run yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Persistent compile cache: kernel tests trigger many small XLA compiles;
-# cache them across runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/flacx_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# Persistent compile cache: DISABLED for CPU test runs since round 5.
+# This environment's VM migrates between physical hosts with different
+# CPU feature sets; XLA:CPU AOT cache entries compiled under one feature
+# set SIGILL/segfault when loaded under another (observed as segfaults
+# inside compilation_cache reads and backend_compile during the suite,
+# with "Machine type used for XLA:CPU compilation doesn't match"
+# warnings).  The TPU-side cache (bench, tools) is unaffected — those
+# executables target the TPU, not the host CPU.
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -33,7 +37,4 @@ jax.config.update("jax_platforms", "cpu")
 # the config defaults are captured at import time) — set the persistent
 # compile cache through the config API, which works as long as no
 # computation has run yet.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_compilation_cache_dir", None)

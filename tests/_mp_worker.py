@@ -17,7 +17,7 @@ import sys
 from pathlib import Path
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/flacx_jax_cache")
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)  # see conftest.py: CPU AOT cache unsafe on migrating VMs
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
