@@ -45,9 +45,12 @@ CONFIG_POOL = (
     dict(block_size=256, max_lpc_order=6, bps=24),
     dict(block_size=256, max_lpc_order=8, bps=16,
          windows=("tukey(0.5)", "hann", "flattop")),
-    # wasted-bits grammar (spec-correct; the reference decoder misparses
-    # the wasted-bits unary, so the differential reference check skips it)
-    dict(block_size=256, max_lpc_order=6, bps=16, wasted_bits=True),
+    # NB: a wasted-bits pool entry was tried in round 5 and reverted —
+    # its extra in-suite encoder compile reproducibly crashed the
+    # XLA:CPU compiler deep into full-suite runs (standalone runs were
+    # green; segfault inside backend_compile_and_load, cumulative
+    # compiler state).  The wasted-bits grammar keeps dedicated
+    # encode/decode round-trip coverage in test_device_encoder.py.
 )
 
 PCM_KINDS = ("tonal", "noise", "impulse", "silence")
@@ -167,9 +170,7 @@ def test_differential_fuzz(encoders):
             np.testing.assert_array_equal(got2, pcm,
                                           err_msg=f"dribble {round_i}")
 
-        # upstream reference decode on a budgeted sample (never for the
-        # wasted-bits config: the reference decoder misparses that
-        # grammar, SURVEY.md known-deviations)
+        # upstream reference decode on a budgeted sample
         if ref_budget > 0 and round_i % 12 == 0 and not cfg.wasted_bits:
             ref = _reference_decode(data)
             if ref is None:
@@ -196,9 +197,9 @@ def _check_clean(data: bytes) -> None:
 @pytest.mark.parametrize("pool_i", range(len(CONFIG_POOL)))
 def test_corruption_fuzz_bitflips(encoders, pool_i):
     """Random single/multi bit flips anywhere in a valid stream — for
-    EVERY grammar the encoder can emit (round 5: r4 corrupted only
-    CONFIG_POOL[0], leaving 24-bit, wasted-bits, escape and multi-window
-    streams un-corrupted)."""
+    EVERY grammar in the pool (round 5: r4 corrupted only
+    CONFIG_POOL[0], leaving 24-bit, escape and multi-window streams
+    un-corrupted)."""
     rng = np.random.default_rng(0xBADB17 + pool_i)
     cfg, enc = encoders[pool_i]
     pcm = _rand_pcm(rng, 4 * cfg.block_size, cfg.bps)
