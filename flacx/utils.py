@@ -107,6 +107,13 @@ def enable_compile_cache(path: str | None = None) -> None:
     API works any time before the first compilation, so every flacx
     entry point (CLI, bench, tools) funnels through here.
 
+    CPU backends are a NO-OP (round 5): this environment's VM migrates
+    between physical hosts with different CPU feature sets, and XLA:CPU
+    AOT cache entries compiled under one feature set segfault when
+    loaded under another (the cache key does not include host CPU
+    features).  TPU/accelerator executables are host-agnostic and keep
+    the cache.
+
     Args:
       path: cache directory; defaults to ``$JAX_COMPILATION_CACHE_DIR``
         or ``~/.cache/flacx/xla``.
@@ -115,6 +122,11 @@ def enable_compile_cache(path: str | None = None) -> None:
 
     import jax
 
+    try:
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:
+        pass
     path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
             or os.path.join(os.path.expanduser("~"), ".cache", "flacx",
                             "xla"))
